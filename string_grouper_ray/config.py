@@ -1,0 +1,156 @@
+"""Engine configuration.
+
+Mirrors the option surface of the reference ``StringGrouperConfig``
+(``/root/reference/string_grouper/string_grouper.py:156-202``) and adds the
+distributed-execution knobs (MinHash/LSH candidate generation, skew salting,
+checkpointing) that the Ray-Data-native engine needs.
+
+Unlike the reference NamedTuple, this is a frozen dataclass whose
+``__post_init__`` performs the option validation the reference spreads over
+``_validate_group_rep_specs`` / ``_validate_tfidf_matrix_dtype`` /
+``_validate_n_blocks`` (``string_grouper.py:916-952``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+DEFAULT_NGRAM_SIZE: int = 3
+DEFAULT_TFIDF_MATRIX_DTYPE: type = np.float64
+DEFAULT_REGEX: str = r"[,-./]|\s"
+DEFAULT_MAX_N_MATCHES: int = 20
+DEFAULT_MIN_SIMILARITY: float = 0.8
+DEFAULT_IGNORE_CASE: bool = True
+DEFAULT_DROP_INDEX: bool = False
+DEFAULT_REPLACE_NA: bool = False
+DEFAULT_INCLUDE_ZEROES: bool = True
+GROUP_REP_CENTROID: str = "centroid"
+GROUP_REP_FIRST: str = "first"
+DEFAULT_GROUP_REP: str = GROUP_REP_CENTROID
+DEFAULT_FORCE_SYMMETRIES: bool = True
+DEFAULT_NORMALIZE_TO_ASCII: bool = True
+
+# Output column naming contract (string_grouper.py:40-49).
+DEFAULT_COLUMN_NAME: str = "side"
+DEFAULT_ID_NAME: str = "id"
+LEFT_PREFIX: str = "left_"
+RIGHT_PREFIX: str = "right_"
+MOST_SIMILAR_PREFIX: str = "most_similar_"
+DEFAULT_MASTER_NAME: str = "master"
+DEFAULT_MASTER_ID_NAME: str = f"{DEFAULT_MASTER_NAME}_{DEFAULT_ID_NAME}"
+GROUP_REP_PREFIX: str = "group_rep_"
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """All options for the Ray-Data near-dup engine.
+
+    The first block mirrors the reference options one-to-one; the second block
+    is ours (distributed execution).
+    """
+
+    # --- reference-compatible options -------------------------------------
+    ngram_size: int = DEFAULT_NGRAM_SIZE
+    tfidf_matrix_dtype: type = DEFAULT_TFIDF_MATRIX_DTYPE
+    regex: str = DEFAULT_REGEX
+    max_n_matches: Optional[int] = DEFAULT_MAX_N_MATCHES
+    min_similarity: float = DEFAULT_MIN_SIMILARITY
+    ignore_case: bool = DEFAULT_IGNORE_CASE
+    ignore_index: bool = DEFAULT_DROP_INDEX
+    include_zeroes: bool = DEFAULT_INCLUDE_ZEROES
+    replace_na: bool = DEFAULT_REPLACE_NA
+    group_rep: str = DEFAULT_GROUP_REP
+    force_symmetries: bool = DEFAULT_FORCE_SYMMETRIES
+    n_blocks: Optional[Tuple[int, int]] = None
+    normalize_to_ascii: bool = DEFAULT_NORMALIZE_TO_ASCII
+    # accepted for reference-API compatibility; maps to actor-pool sizing
+    number_of_processes: Optional[int] = None
+
+    # --- distributed-execution options (ours) -----------------------------
+    # candidate generation strategy: "exact" (blocked top-N cosine matmul,
+    # the reference's own algorithm, distributed) or "lsh"
+    # (MinHash+LSH candidates, exact cosine verify — the 10^12-row path).
+    strategy: str = "exact"
+    # MinHash / LSH parameters (strategy="lsh")
+    num_perm: int = 128
+    lsh_bands: int = 32  # bands * rows_per_band must == num_perm
+    minhash_seed: int = 42
+    # any LSH band-bucket with more than this many members is salted into
+    # sub-bucket chunk pairs so no single verify task goes quadratic.
+    max_bucket_size: int = 500
+    # exact top-k matmul: rows per broadcast right-side chunk
+    right_chunk_rows: int = 80_000
+    # per-batch size for the vectorize / matmul stages
+    batch_size: int = 4096
+    # connected components: below this many edges the driver runs a local
+    # union-find; above, iterative distributed label propagation.
+    cc_driver_max_edges: int = 5_000_000
+    # guard for zero-similarity completion (reference O(n*m) cartesian)
+    max_zero_pairs: int = 10_000_000
+    # checkpointing (state/checkpoint.py); None disables
+    checkpoint_dir: Optional[str] = None
+    # actor-pool sizing for stateful stages; None → let Ray pick
+    concurrency: Optional[int] = None
+
+    def __post_init__(self) -> None:
+        if self.group_rep not in (GROUP_REP_FIRST, GROUP_REP_CENTROID):
+            raise ValueError(
+                "Invalid option value for group_rep. The only permitted values are "
+                f"{(GROUP_REP_FIRST, GROUP_REP_CENTROID)}"
+            )
+        if self.tfidf_matrix_dtype not in (np.float32, np.float64):
+            raise ValueError(
+                "Invalid option value for tfidf_matrix_dtype. The only permitted "
+                f"values are {(np.float32, np.float64)}"
+            )
+        if self.ignore_index and self.replace_na:
+            raise ValueError("replace_na can only be set to True when ignore_index=False.")
+        self._validate_n_blocks(self.n_blocks)
+        if self.strategy not in ("exact", "lsh"):
+            raise ValueError("strategy must be 'exact' or 'lsh'")
+        if self.num_perm % self.lsh_bands != 0:
+            raise ValueError("num_perm must be divisible by lsh_bands")
+
+    @staticmethod
+    def _validate_n_blocks(n_blocks) -> None:
+        errmsg = (
+            "Invalid option value for parameter n_blocks: n_blocks must be None "
+            "or a tuple of 2 integers greater than 0."
+        )
+        if n_blocks is None:
+            return
+        if not isinstance(n_blocks, tuple) or len(n_blocks) != 2:
+            raise ValueError(errmsg)
+        if not (isinstance(n_blocks[0], int) and isinstance(n_blocks[1], int)):
+            raise ValueError(errmsg)
+        if n_blocks[0] < 1 or n_blocks[1] < 1:
+            raise ValueError(errmsg)
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.lsh_bands
+
+    def resolve_concurrency(self) -> int:
+        """Actor-pool size for stateful map_batches stages.
+
+        Explicit ``concurrency`` wins, then the reference-compat
+        ``number_of_processes``, else all-but-one of the cluster's CPUs
+        (leaving headroom for the read/write stages).
+        """
+        if self.concurrency:
+            return self.concurrency
+        if self.number_of_processes:
+            return self.number_of_processes
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        return max(2, cpus - 1)
+
+    def with_options(self, **kwargs) -> "EngineConfig":
+        return replace(self, **kwargs)

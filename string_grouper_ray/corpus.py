@@ -1,0 +1,105 @@
+"""Distributed corpus fit (operators F1/F2, A1 in SURVEY.md).
+
+The reference fits a ``TfidfVectorizer`` on the concatenation of master and
+duplicates on the driver (``/root/reference/string_grouper/string_grouper.py:699-707``).
+Here the fit is a Ray Data aggregation:
+
+    union(sides) → map_batches(partial doc-frequency count per batch)
+                 → groupby("ngram").sum("df")         # the only shuffle
+                 → driver collect (vocab is small: char n-gram space is
+                   bounded — ≤ ~1e6 distinct trigrams even at 10^12 rows)
+                 → Vocabulary artifact → ray.put (broadcast, read once
+                   per actor — never re-shipped per batch)
+
+Partial aggregation inside ``map_batches`` keeps the shuffle tiny: one row
+per distinct ngram per *batch*, not per document occurrence.
+
+The fitted ``Vocabulary`` is reusable across calls (reference
+``reset_data`` semantics, ``string_grouper.py:310-323``): pass it back into
+the pipelines via ``corpus=`` to encode new data against an old vocabulary.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .config import EngineConfig
+from .sparse import Vocabulary
+from .text import NGramTokenizer
+
+
+class _PartialDocFreq:
+    """map_batches stage: per-batch partial document-frequency counts."""
+
+    def __init__(self, config: EngineConfig, text_col: str):
+        self.tokenizer = NGramTokenizer(config)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        counter: Counter = Counter()
+        for grams in self.tokenizer.ngrams_batch(texts):
+            counter.update(set(grams))  # distinct per doc → document frequency
+        if not counter:
+            return pa.table({"ngram": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        return pa.table({
+            "ngram": pa.array(list(counter.keys()), type=pa.string()),
+            "df": pa.array(list(counter.values()), type=pa.int64()),
+        })
+
+
+def fit_vocabulary(
+    datasets: Sequence["ray.data.Dataset"],
+    text_col: str = "text",
+    config: Optional[EngineConfig] = None,
+) -> Vocabulary:
+    """Fit the tf-idf vocabulary over the union of the given datasets.
+
+    Mirrors ``_fit_vectorizer`` (fit over concat of both sides when
+    duplicates are present, ``string_grouper.py:699-707``).
+    """
+    config = config or EngineConfig()
+    ds = datasets[0]
+    for other in datasets[1:]:
+        ds = ds.union(other)
+    n_docs = ds.count()
+    df_rows = (
+        ds.map_batches(
+            _PartialDocFreq,
+            fn_constructor_args=(config, text_col),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=config.resolve_concurrency(),
+        )
+        .groupby("ngram")
+        .sum("df")
+        .take_all()
+    )
+    ngrams = [r["ngram"] for r in df_rows]
+    dfs = [r["sum(df)"] for r in df_rows]
+    return Vocabulary.from_doc_frequencies(ngrams, dfs, n_docs)
+
+
+def fit_vocabulary_local(
+    texts_list: Sequence[Sequence[str]], config: Optional[EngineConfig] = None
+) -> Vocabulary:
+    """Driver-local fit for small inputs (compat layer / tests)."""
+    config = config or EngineConfig()
+    tokenizer = NGramTokenizer(config)
+    counter: Counter = Counter()
+    n_docs = 0
+    for texts in texts_list:
+        n_docs += len(texts)
+        for grams in tokenizer.ngrams_batch(list(texts)):
+            counter.update(set(grams))
+    ngrams = list(counter.keys())
+    dfs = [counter[g] for g in ngrams]
+    return Vocabulary.from_doc_frequencies(ngrams, dfs, n_docs)

@@ -1,0 +1,143 @@
+"""Join primitives for the engine (J3/J4 support in SURVEY.md §2.4).
+
+``Dataset.join`` exists in Ray 2.49 but its hash-shuffle aggregator breaks
+when one logical plan contains more than one join (state from the first
+join's shuffle leaks into the second — observed as
+``ArrowInvalid: No match ... on right side of the join``). The engine
+therefore uses the two portable patterns from the Ray Data playbook:
+
+* :func:`broadcast_join` — small side collected once, ``ray.put``, merged
+  against every batch of the big side inside ``map_batches``. No shuffle.
+* :func:`shuffle_join` — explicit partitioned hash join: both sides get a
+  ``bucket = hash(key) % B`` column, are unioned with a side tag, shuffled
+  ONCE on the bucket, and merged bucket-wise with a vectorized pandas merge
+  inside ``map_groups``. One all-to-all exchange, arbitrary-size sides.
+
+Both preserve the left side's rows for ``how="left"``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_SIDE_COL = "__sgr_side"
+_BUCKET_COL = "__sgr_bucket"
+
+
+def _key_bucket(col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
+    vals = col.to_numpy(zero_copy_only=False)
+    if vals.dtype.kind in "iu":
+        h = vals.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)
+    else:
+        h = np.fromiter(
+            (hash(v) & 0xFFFFFFFFFFFFFFFF for v in vals), dtype=np.uint64, count=len(vals)
+        )
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
+class _BroadcastMerger:
+    def __init__(self, small_ref, on: str, right_on: str, how: str, columns: Optional[List[str]]):
+        small: pd.DataFrame = ray.get(small_ref)
+        if columns:
+            small = small[[right_on] + [c for c in columns if c != right_on]]
+        self.small = small
+        self.on = on
+        self.right_on = right_on
+        self.how = how
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(
+            self.small, left_on=self.on, right_on=self.right_on,
+            how=("left" if self.how == "left" else "inner"),
+        )
+
+
+def broadcast_join(
+    big: "ray.data.Dataset",
+    small: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    columns: Optional[List[str]] = None,
+    concurrency: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Map-side join: ``small`` is materialized on the driver and broadcast.
+
+    Use only when the small side provably fits in memory (dimension tables,
+    per-group representatives, vocabulary-sized lookups).
+    """
+    right_on = right_on or on
+    small_df = small.to_pandas()
+    small_ref = ray.put(small_df)
+    return big.map_batches(
+        _BroadcastMerger,
+        fn_constructor_args=(small_ref, on, right_on, how, columns),
+        batch_format="pandas",
+        concurrency=concurrency or 2,
+    )
+
+
+def shuffle_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Partitioned hash join of two arbitrarily large datasets.
+
+    One shuffle keyed on ``hash(key) % num_buckets``; within each bucket the
+    two sides are split by tag and merged with a vectorized pandas merge.
+    Column name collisions (other than the key) are the caller's job to
+    avoid. Size ``num_buckets`` ≈ total rows / desired bucket rows; skewed
+    single keys are bounded by their own frequency (salt upstream when a
+    single key is hot).
+    """
+    right_on = right_on or on
+    left_schema = left.schema()
+    right_schema = right.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    all_fields = {}
+    for name, typ in zip(left_schema.names, left_schema.types):
+        all_fields[name] = typ
+    for name, typ in zip(right_schema.names, right_schema.types):
+        all_fields.setdefault(name, typ)
+
+    def prep(side: int, key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            n = len(t)
+            for name, typ in all_fields.items():
+                if name in t.column_names:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(n, type=typ)
+            cols[_SIDE_COL] = pa.array(np.full(n, side, dtype=np.int8))
+            cols[_BUCKET_COL] = _key_bucket(t[key], num_buckets) if n else pa.array([], type=pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(prep(0, on), batch_format="pyarrow").union(
+        right.map_batches(prep(1, right_on), batch_format="pyarrow")
+    )
+
+    merge_how = "left" if how == "left" else "inner"
+    out_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g[_SIDE_COL] == 0][left_cols]
+        rhs = g[g[_SIDE_COL] == 1][right_cols]
+        merged = lhs.merge(rhs, left_on=on, right_on=right_on, how=merge_how)
+        return merged[[c for c in out_cols if c in merged.columns]]
+
+    return tagged.groupby(_BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")

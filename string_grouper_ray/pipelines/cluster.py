@@ -1,0 +1,120 @@
+"""Dedup / clustering pipeline — ``group_similar_strings`` semantics
+(operators A4/A5/A8 in SURVEY.md; reference ``_deduplicate`` at
+``/root/reference/string_grouper/string_grouper.py:851-904``).
+
+    edges (self-join, symmetrized)            pipelines/match.py
+      → connected components                  state/unionfind.py
+      → per-node weight                       'first': row_idx
+                                              'centroid': groupby(left).sum(sim)
+      → per-group representative              groupby(group).argmax/argmin
+      → labels joined back onto the input     shuffle_join on row_idx/group_id
+
+Determinism: components are labeled by min ``row_idx``; centroid ties break
+to the lowest ``row_idx`` (the reference's ``idxmax`` takes the first
+occurrence in row order, ``string_grouper.py:883-886``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import GROUP_REP_CENTROID, EngineConfig
+from ..functions.joins import shuffle_join
+from ..sparse import Vocabulary
+from ..state.unionfind import connected_components
+from .match import match_edges
+
+
+def group_assignments(
+    ds: "ray.data.Dataset",
+    config: Optional[EngineConfig] = None,
+    vocab: Optional[Vocabulary] = None,
+    text_col: str = "text",
+    edges: Optional["ray.data.Dataset"] = None,
+) -> "ray.data.Dataset":
+    """Cluster a dataset of (row_idx, text) rows into near-dup groups.
+
+    Returns a Dataset with columns
+    (row_idx:int64, group_id:int64, group_rep_idx:int64), where ``group_id``
+    is the component's min row_idx and ``group_rep_idx`` the representative
+    member per ``config.group_rep``.
+    """
+    config = config or EngineConfig()
+    if edges is None:
+        edges, vocab = match_edges(ds, None, config, vocab, text_col)
+    edges = edges.materialize()  # consumed twice (CC + centroid weights)
+    labels = connected_components(edges, ds, config).materialize()
+
+    if config.group_rep == GROUP_REP_CENTROID:
+        # weighted degree per node: sum of similarities over its edges,
+        # including the forced diagonal (string_grouper.py:875-881)
+        weights = (
+            edges.groupby("left_idx")
+            .sum("similarity")
+            .map_batches(
+                lambda t: t.rename_columns(["row_idx", "weight"]),
+                batch_format="pyarrow",
+            )
+        )
+        labeled = shuffle_join(labels, weights, on="row_idx", how="left")
+
+        def fill_weight(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            w = pc.coalesce(
+                t["weight"].cast(pa.float64()), pa.scalar(0.0, type=pa.float64())
+            )
+            return pa.table(
+                {
+                    "row_idx": t["row_idx"].cast(pa.int64()),
+                    "group_id": t["group_id"].cast(pa.int64()),
+                    "weight": w,
+                }
+            )
+
+        labeled = labeled.map_batches(fill_weight, batch_format="pyarrow")
+        maximize = True
+    else:
+        # group_rep='first': weight = the row's own position (string_grouper.py:871-873)
+        def pos_weight(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "row_idx": t["row_idx"],
+                    "group_id": t["group_id"],
+                    "weight": t["row_idx"].cast(pa.float64()),
+                }
+            )
+
+        labeled = labels.map_batches(pos_weight, batch_format="pyarrow")
+        maximize = False
+
+    def pick_rep(g: pd.DataFrame) -> pd.DataFrame:
+        # argmax (centroid) / argmin (first) of weight; ties → lowest row_idx
+        g = g.sort_values(["weight", "row_idx"], ascending=[not maximize, True])
+        return pd.DataFrame(
+            {
+                "group_id": [int(g["group_id"].iloc[0])],
+                "group_rep_idx": [int(g["row_idx"].iloc[0])],
+            }
+        )
+
+    reps = labeled.groupby("group_id").map_groups(pick_rep, batch_format="pandas")
+    out = shuffle_join(labels, reps, on="group_id", how="inner")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "row_idx": t["row_idx"].cast(pa.int64()),
+                "group_id": t["group_id"].cast(pa.int64()),
+                "group_rep_idx": t["group_rep_idx"].cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

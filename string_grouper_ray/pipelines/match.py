@@ -1,0 +1,246 @@
+"""Fuzzy all-pairs top-N cosine join — the core operator (J1/J2 in SURVEY.md).
+
+Replaces the reference's single-node blocked sparse matmul
+(``/root/reference/string_grouper/string_grouper.py:709-752``) with two
+Ray-Data-native strategies:
+
+* ``strategy="exact"`` — the reference's own algorithm, distributed: the
+  right-hand side's tf-idf vectors are built into bounded CSR chunks
+  (≈``right_chunk_rows`` rows each), each chunk ``ray.put`` into the object
+  store ONCE, and the left side streams through a ``map_batches`` actor pool
+  that multiplies every left batch against every right chunk and merges the
+  per-chunk top-Ns (exactly the reference's ``zip_sp_matmul_topn`` +
+  ``vstack`` blocking scheme, ``string_grouper.py:714-752``, but scheduled by
+  Ray's streaming executor). The left side never materializes. This is the
+  default for up to a few million right rows (vector chunks are the only
+  materialized state; the audio payload never enters this pipeline).
+
+* ``strategy="lsh"`` — MinHash/LSH candidate generation + exact verify
+  (see ``stages/minhash.py`` / ``stages/lsh.py``): the 10^12-row path where
+  no side fits in memory.
+
+Both strategies produce the same edge-list IR:
+
+    left_idx:int64, right_idx:int64, similarity:float64
+
+Self-join post-processing (``force_symmetries``, reference
+``string_grouper.py:419-427,954-964``): diagonal forced to exactly 1.0 and
+the edge set symmetrized, expressed as union + pair-key groupby-max.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..corpus import fit_vocabulary
+from ..sparse import CSRBatch, Postings, Vocabulary, merge_row_topn, topn_multiply
+from ..stages.vectorize import TfidfEncoder, csr_from_arrow
+
+EDGE_SCHEMA = pa.schema(
+    [("left_idx", pa.int64()), ("right_idx", pa.int64()), ("similarity", pa.float64())]
+)
+
+
+def _empty_edges() -> "ray.data.Dataset":
+    return ray.data.from_arrow(EDGE_SCHEMA.empty_table())
+
+
+def vectorize(
+    ds: "ray.data.Dataset",
+    vocab_ref,
+    config: EngineConfig,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        TfidfEncoder,
+        fn_constructor_args=(vocab_ref, config, text_col),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=config.resolve_concurrency(),
+    )
+
+
+class RightSideChunks:
+    """The broadcast right-hand side: a list of (Postings, row_ids) refs."""
+
+    def __init__(self, refs: List["ray.ObjectRef"], n_rows: int, vocab_size: int):
+        self.refs = refs
+        self.n_rows = n_rows
+        self.vocab_size = vocab_size
+
+
+def build_right_chunks(
+    vectorized: "ray.data.Dataset", config: EngineConfig, vocab_size: int
+) -> RightSideChunks:
+    """Collect the vectorized right side into object-store CSR chunks.
+
+    Each chunk is ``ray.put`` once and read by every matcher actor —
+    broadcast, not re-shipped per batch. Chunk size mirrors the reference's
+    right-block sweet spot (≈80k rows, ``docs/performance.md:71-79``).
+    """
+    refs: List[ray.ObjectRef] = []
+    total = 0
+    buf_ids: List[np.ndarray] = []
+    buf_ws: List[np.ndarray] = []
+    buf_rows: List[np.ndarray] = []
+    buffered = 0
+
+    def flush():
+        nonlocal buf_ids, buf_ws, buf_rows, buffered
+        if not buffered:
+            return
+        csr = CSRBatch.from_lists(
+            [a for chunk in buf_ids for a in chunk],
+            [a for chunk in buf_ws for a in chunk],
+            vocab_size,
+        )
+        row_ids = np.concatenate(buf_rows)
+        refs.append(ray.put((Postings.from_csr(csr), row_ids)))
+        buf_ids, buf_ws, buf_rows, buffered = [], [], [], 0
+
+    for batch in vectorized.select_columns(
+        ["row_idx", "term_ids", "term_weights"]
+    ).iter_batches(batch_size=config.batch_size, batch_format="pyarrow"):
+        csr = csr_from_arrow(batch, vocab_size)
+        ids, ws = csr.to_lists()
+        buf_ids.append(ids)
+        buf_ws.append(ws)
+        buf_rows.append(batch["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64))
+        buffered += csr.n_rows
+        total += csr.n_rows
+        if buffered >= config.right_chunk_rows:
+            flush()
+    flush()
+    return RightSideChunks(refs, total, vocab_size)
+
+
+class ExactTopKMatcher:
+    """map_batches actor: left batch × all right chunks → top-N edges.
+
+    State (the right chunks) is fetched once per actor in ``__init__``;
+    ``__call__`` is pure vectorized numpy per batch.
+    """
+
+    def __init__(self, chunk_refs: List["ray.ObjectRef"], vocab_size: int, config: EngineConfig):
+        self.chunks: List[Tuple[Postings, np.ndarray]] = [ray.get(r) for r in chunk_refs]
+        self.vocab_size = vocab_size
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        csr = csr_from_arrow(batch, self.vocab_size)
+        left_rows = batch["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        topn = self.config.max_n_matches
+        parts_l: List[np.ndarray] = []
+        parts_r: List[np.ndarray] = []
+        parts_s: List[np.ndarray] = []
+        for postings, row_ids in self.chunks:
+            l, r, s = topn_multiply(
+                csr, postings, threshold=self.config.min_similarity, topn=topn
+            )
+            parts_l.append(l)
+            parts_r.append(row_ids[r])
+            parts_s.append(s)
+        if parts_l:
+            l = np.concatenate(parts_l)
+            r = np.concatenate(parts_r)
+            s = np.concatenate(parts_s)
+            if topn is not None and len(self.chunks) > 1:
+                l, r, s = merge_row_topn(l, r, s, topn)
+        else:
+            l = r = np.empty(0, dtype=np.int64)
+            s = np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                "left_idx": pa.array(left_rows[l], type=pa.int64()),
+                "right_idx": pa.array(r, type=pa.int64()),
+                "similarity": pa.array(s.astype(np.float64), type=pa.float64()),
+            }
+        )
+
+
+def symmetrize_edges(
+    edges: "ray.data.Dataset", nodes: "ray.data.Dataset", config: EngineConfig
+) -> "ray.data.Dataset":
+    """force_symmetries for self-joins (reference ``string_grouper.py:419-427``):
+
+    1. every diagonal entry forced to exactly 1.0 (``_fix_diagonal``)
+    2. every off-diagonal edge mirrored (``_symmetrize_matrix``)
+
+    ``nodes`` must have a ``row_idx`` column covering every left row.
+    Expressed as union + groupby(pair).max — one shuffle keyed on the pair.
+    """
+
+    def drop_diag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t["left_idx"], t["right_idx"]))
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "left_idx": t["right_idx"],
+                "right_idx": t["left_idx"],
+                "similarity": t["similarity"],
+            }
+        )
+
+    def diag(t: pa.Table) -> pa.Table:
+        idx = t["row_idx"]
+        ones = pa.array(np.ones(len(t), dtype=np.float64))
+        return pa.table({"left_idx": idx, "right_idx": idx, "similarity": ones})
+
+    off = edges.map_batches(drop_diag, batch_format="pyarrow")
+    mirrored = off.map_batches(swap, batch_format="pyarrow")
+    diagonal = nodes.select_columns(["row_idx"]).map_batches(diag, batch_format="pyarrow")
+    unioned = off.union(mirrored, diagonal)
+    out = unioned.groupby(["left_idx", "right_idx"]).max("similarity")
+    return out.map_batches(
+        lambda t: t.rename_columns(["left_idx", "right_idx", "similarity"]),
+        batch_format="pyarrow",
+    )
+
+
+def match_edges(
+    left: "ray.data.Dataset",
+    right: Optional["ray.data.Dataset"],
+    config: Optional[EngineConfig] = None,
+    vocab: Optional[Vocabulary] = None,
+    text_col: str = "text",
+) -> Tuple["ray.data.Dataset", Vocabulary]:
+    """Compute the match edge list between two datasets (or a self-join).
+
+    Inputs must carry ``row_idx:int64`` (stable row identity) and
+    ``text_col``. Returns (edges, fitted vocabulary).
+    """
+    config = config or EngineConfig()
+    self_join = right is None
+    if vocab is None:
+        vocab = fit_vocabulary([left] if self_join else [left, right], text_col, config)
+    vocab_ref = ray.put(vocab)
+
+    if config.strategy == "lsh":
+        from ..stages.lsh import lsh_match_edges
+
+        edges = lsh_match_edges(left, right, vocab_ref, config, text_col)
+    else:
+        right_vec = vectorize(right if right is not None else left, vocab_ref, config, text_col)
+        chunks = build_right_chunks(right_vec, config, vocab.size)
+        left_vec = vectorize(left, vocab_ref, config, text_col)
+        edges = left_vec.select_columns(["row_idx", "term_ids", "term_weights"]).map_batches(
+            ExactTopKMatcher,
+            fn_constructor_args=(chunks.refs, vocab.size, config),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=config.resolve_concurrency(),
+        )
+
+    if self_join and config.force_symmetries:
+        edges = symmetrize_edges(edges, left, config)
+    return edges, vocab

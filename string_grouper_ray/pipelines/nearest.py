@@ -1,0 +1,87 @@
+"""Top-1 fuzzy lookup — ``match_most_similar`` semantics (operator J4;
+reference ``_get_nearest_matches`` at
+``/root/reference/string_grouper/string_grouper.py:783-849``).
+
+    edges (cross join, top-N per master row)
+      → per-dupe best master: max similarity, ties → min master row
+        (groupby right_idx)
+      → LEFT join onto the duplicates table (unmatched dupes keep
+        themselves — the COALESCE at string_grouper.py:816-820)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..functions.joins import shuffle_join
+
+
+def best_master_per_dupe(
+    edges: "ray.data.Dataset", config: Optional[EngineConfig] = None
+) -> "ray.data.Dataset":
+    """(right_idx, best_left_idx, similarity): max-sim master per duplicate,
+    ties broken by the lowest master row (string_grouper.py:803-807)."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["similarity", "left_idx"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "right_idx": [int(g["right_idx"].iloc[0])],
+                "best_left_idx": [int(g["left_idx"].iloc[0])],
+                "similarity": [float(g["similarity"].iloc[0])],
+            }
+        )
+
+    return edges.groupby("right_idx").map_groups(pick, batch_format="pandas")
+
+
+def nearest_join(
+    duplicates: "ray.data.Dataset",
+    master: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    config: Optional[EngineConfig] = None,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Left join the best-master picks onto the duplicates table.
+
+    Output columns: row_idx (dupe row), most_similar_idx (master row, or the
+    dupe's own row when unmatched), most_similar_text (COALESCEd), similarity
+    (null when unmatched), matched.
+    """
+    config = config or EngineConfig()
+    best = best_master_per_dupe(edges, config)
+    joined = shuffle_join(
+        duplicates.select_columns(["row_idx", text_col]),
+        best,
+        on="row_idx",
+        right_on="right_idx",
+        how="left",
+    )
+    master_texts = master.select_columns(["row_idx", text_col]).map_batches(
+        lambda t: t.rename_columns(["m_idx", "m_text"]), batch_format="pyarrow"
+    )
+    joined = shuffle_join(joined, master_texts, on="best_left_idx", right_on="m_idx", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        best_idx = t["best_left_idx"].cast(pa.float64()).cast(pa.int64(), safe=False)
+        matched = pc.is_valid(t["best_left_idx"])
+        return pa.table(
+            {
+                "row_idx": t["row_idx"].cast(pa.int64()),
+                "most_similar_idx": pc.coalesce(best_idx, t["row_idx"].cast(pa.int64())),
+                "most_similar_text": pc.coalesce(t["m_text"], t[text_col]),
+                "similarity": t["similarity"].cast(pa.float64()),
+                "matched": matched,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,293 @@
+"""Pure-numpy sparse TF-IDF + top-N cosine kernels.
+
+scipy / scikit-learn / sparse_dot_topn are not available in this environment
+(SURVEY.md §4.3), so this module reimplements the numeric core of the
+reference exactly:
+
+* TF-IDF encoding with sklearn ``TfidfVectorizer`` defaults — raw term
+  counts, smooth IDF ``ln((1+N)/(1+df)) + 1``, L2 row normalization,
+  alphabetically-ordered vocabulary (so the reference's tf-idf matrix
+  goldens at ``test_string_grouper.py:519-556`` reproduce bit-for-bit).
+* The top-N thresholded sparse matrix product of
+  ``sp_matmul_topn`` (called at ``string_grouper.py:725,737``), implemented
+  as a CSR × CSC-postings product with a bounded dense accumulator
+  (``np.bincount`` over flattened (row, col) keys) — fully vectorized, no
+  Python loop over matrix entries.
+
+All kernels are batch-local: the Ray pipeline calls them inside
+``map_batches`` tasks; no global matrix is ever materialized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Vocabulary / IDF artifact (broadcast via ray.put; see corpus.py)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Vocabulary:
+    """Fitted corpus state: {ngram -> column}, IDF weights, corpus size.
+
+    Equivalent of the fitted sklearn vectorizer held by the reference driver
+    (``string_grouper.py:305-308``), but a plain picklable artifact that is
+    broadcast to actors.
+    """
+
+    index: Dict[str, int]  # ngram -> column id (alphabetic rank, as sklearn)
+    idf: np.ndarray  # float64 [vocab_size]
+    n_docs: int
+
+    @property
+    def size(self) -> int:
+        return len(self.index)
+
+    @classmethod
+    def from_doc_frequencies(cls, ngrams: Sequence[str], dfs: Sequence[int], n_docs: int) -> "Vocabulary":
+        """Build from (ngram, document-frequency) pairs.
+
+        sklearn sorts feature names alphabetically and computes smooth IDF:
+        ``idf = ln((1 + n) / (1 + df)) + 1``.
+        """
+        order = np.argsort(np.asarray(ngrams, dtype=object))
+        index: Dict[str, int] = {}
+        df_sorted = np.empty(len(order), dtype=np.float64)
+        for rank, i in enumerate(order):
+            index[ngrams[i]] = rank
+            df_sorted[rank] = dfs[i]
+        idf = np.log((1.0 + n_docs) / (1.0 + df_sorted)) + 1.0
+        return cls(index=index, idf=idf, n_docs=n_docs)
+
+
+# --------------------------------------------------------------------------
+# CSR batch representation
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CSRBatch:
+    """A batch of L2-normalized tf-idf rows in CSR layout."""
+
+    indptr: np.ndarray  # int64 [n_rows + 1]
+    indices: np.ndarray  # int32 [nnz], sorted ascending within each row
+    data: np.ndarray  # float [nnz]
+    n_cols: int
+
+    @property
+    def n_rows(self) -> int:
+        return len(self.indptr) - 1
+
+    def row_slices(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.indptr[:-1], self.indptr[1:]
+
+    def to_lists(self) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        """Split into per-row (ids, weights) arrays — the Arrow list-column
+        representation carried through the Dataset."""
+        ids = np.split(self.indices, self.indptr[1:-1])
+        ws = np.split(self.data, self.indptr[1:-1])
+        return ids, ws
+
+    @classmethod
+    def from_lists(cls, ids: Sequence[np.ndarray], ws: Sequence[np.ndarray], n_cols: int) -> "CSRBatch":
+        lens = np.fromiter((len(a) for a in ids), dtype=np.int64, count=len(ids))
+        indptr = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        indices = np.concatenate(ids) if len(ids) else np.empty(0, dtype=np.int32)
+        data = np.concatenate(ws) if len(ws) else np.empty(0, dtype=np.float64)
+        return cls(indptr=indptr, indices=indices.astype(np.int32, copy=False),
+                   data=data, n_cols=n_cols)
+
+
+def encode_tfidf(
+    ngram_lists: Sequence[Sequence[str]],
+    vocab: Vocabulary,
+    dtype: type = np.float64,
+) -> CSRBatch:
+    """Transform tokenized documents into L2-normalized tf-idf CSR rows.
+
+    Matches ``TfidfVectorizer.transform`` (raw tf × smooth idf, L2 norm);
+    n-grams absent from the vocabulary are dropped, exactly like sklearn
+    transform on unseen tokens.
+    """
+    index = vocab.index
+    idf = vocab.idf
+    indptr = np.zeros(len(ngram_lists) + 1, dtype=np.int64)
+    all_ids: List[np.ndarray] = []
+    all_ws: List[np.ndarray] = []
+    for i, grams in enumerate(ngram_lists):
+        counts: Dict[int, int] = {}
+        for g in grams:
+            col = index.get(g)
+            if col is not None:
+                counts[col] = counts.get(col, 0) + 1
+        if counts:
+            cols = np.fromiter(counts.keys(), dtype=np.int32, count=len(counts))
+            tfs = np.fromiter(counts.values(), dtype=np.float64, count=len(counts))
+            order = np.argsort(cols)
+            cols = cols[order]
+            w = tfs[order] * idf[cols]
+            norm = np.sqrt(np.dot(w, w))
+            if norm > 0:
+                w = w / norm
+            all_ids.append(cols)
+            all_ws.append(w.astype(dtype, copy=False))
+            indptr[i + 1] = indptr[i] + len(cols)
+        else:
+            indptr[i + 1] = indptr[i]
+    indices = np.concatenate(all_ids) if all_ids else np.empty(0, dtype=np.int32)
+    data = np.concatenate(all_ws) if all_ws else np.empty(0, dtype=dtype)
+    return CSRBatch(indptr=indptr, indices=indices, data=data, n_cols=vocab.size)
+
+
+# --------------------------------------------------------------------------
+# CSC postings (the broadcast right-hand side of the top-N product)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Postings:
+    """Column-major (term -> [(row, weight)]) view of a CSR chunk."""
+
+    col_ptr: np.ndarray  # int64 [n_cols + 1]
+    row_idx: np.ndarray  # int32 [nnz]
+    weight: np.ndarray  # float [nnz]
+    n_rows: int  # rows in the underlying chunk
+    row_offset: int = 0  # global row id of this chunk's first row
+
+    @classmethod
+    def from_csr(cls, csr: CSRBatch, row_offset: int = 0) -> "Postings":
+        nnz = len(csr.indices)
+        rows = np.repeat(
+            np.arange(csr.n_rows, dtype=np.int32), np.diff(csr.indptr).astype(np.int64)
+        )
+        order = np.argsort(csr.indices, kind="stable")
+        sorted_cols = csr.indices[order]
+        col_counts = np.bincount(sorted_cols, minlength=csr.n_cols) if nnz else np.zeros(csr.n_cols, dtype=np.int64)
+        col_ptr = np.zeros(csr.n_cols + 1, dtype=np.int64)
+        np.cumsum(col_counts, out=col_ptr[1:])
+        return cls(
+            col_ptr=col_ptr,
+            row_idx=rows[order],
+            weight=csr.data[order],
+            n_rows=csr.n_rows,
+            row_offset=row_offset,
+        )
+
+
+def _gather_positions(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flatten ranges [starts[i], starts[i]+lengths[i]) into one index array."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    rep_starts = np.repeat(starts, lengths)
+    csum = np.cumsum(lengths) - lengths
+    offsets = np.arange(total, dtype=np.int64) - np.repeat(csum, lengths)
+    return rep_starts + offsets
+
+
+def topn_multiply(
+    left: CSRBatch,
+    right: Postings,
+    threshold: float,
+    topn: int,
+    dense_budget: int = 4_000_000,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Thresholded top-N product ``left @ rightᵀ`` (cosines, since rows are
+    L2-normalized). Returns (left_row, right_row, similarity) triplets with
+    right_row already offset to global ids.
+
+    Equivalent to one block-pair call of ``sp_matmul_topn``
+    (``string_grouper.py:737``). The dense accumulator covers
+    ``sub_rows × right.n_rows`` float64 at a time, bounded by
+    ``dense_budget`` cells.
+    """
+    n_right = right.n_rows
+    if n_right == 0 or left.n_rows == 0:
+        e = np.empty(0)
+        return e.astype(np.int64), e.astype(np.int64), e
+    sub = max(1, min(left.n_rows, dense_budget // max(1, n_right)))
+    out_l: List[np.ndarray] = []
+    out_r: List[np.ndarray] = []
+    out_s: List[np.ndarray] = []
+    for start in range(0, left.n_rows, sub):
+        stop = min(start + sub, left.n_rows)
+        lo, hi = left.indptr[start], left.indptr[stop]
+        terms = left.indices[lo:hi]
+        vals = left.data[lo:hi]
+        rows_local = np.repeat(
+            np.arange(stop - start, dtype=np.int64),
+            np.diff(left.indptr[start : stop + 1]).astype(np.int64),
+        )
+        plen = (right.col_ptr[terms + 1] - right.col_ptr[terms]).astype(np.int64)
+        pos = _gather_positions(right.col_ptr[terms], plen)
+        if len(pos) == 0:
+            continue
+        pair_rows = np.repeat(rows_local, plen)
+        pair_vals = np.repeat(vals, plen)
+        cols = right.row_idx[pos].astype(np.int64)
+        scores = np.bincount(
+            pair_rows * n_right + cols,
+            weights=pair_vals * right.weight[pos],
+            minlength=(stop - start) * n_right,
+        ).reshape(stop - start, n_right)
+        # sparse semantics: structural zeros never appear; threshold keeps >=
+        mask = scores >= max(threshold, np.finfo(np.float64).tiny)
+        r_loc, c_loc = np.nonzero(mask)
+        s = scores[r_loc, c_loc]
+        if topn is not None and len(r_loc):
+            # per-row top-N, ties broken by ascending column (stable)
+            order = np.lexsort((c_loc, -s, r_loc))
+            r_loc, c_loc, s = r_loc[order], c_loc[order], s[order]
+            rank = np.arange(len(r_loc)) - np.searchsorted(r_loc, r_loc, side="left")
+            keep = rank < topn
+            r_loc, c_loc, s = r_loc[keep], c_loc[keep], s[keep]
+        out_l.append(r_loc + start)
+        out_r.append(c_loc + right.row_offset)
+        out_s.append(s)
+    if not out_l:
+        e = np.empty(0)
+        return e.astype(np.int64), e.astype(np.int64), e
+    return (
+        np.concatenate(out_l),
+        np.concatenate(out_r),
+        np.concatenate(out_s),
+    )
+
+
+def merge_row_topn(
+    l_rows: np.ndarray, r_rows: np.ndarray, sims: np.ndarray, topn: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge per-chunk top-N candidate lists into a global per-row top-N
+    (the ``zip_sp_matmul_topn`` step, ``string_grouper.py:746``)."""
+    if len(l_rows) == 0:
+        return l_rows, r_rows, sims
+    order = np.lexsort((r_rows, -sims, l_rows))
+    l_s, r_s, s_s = l_rows[order], r_rows[order], sims[order]
+    rank = np.arange(len(l_s)) - np.searchsorted(l_s, l_s, side="left")
+    keep = rank < topn
+    return l_s[keep], r_s[keep], s_s[keep]
+
+
+def pairwise_dot(a: CSRBatch, b: CSRBatch) -> np.ndarray:
+    """Row-aligned sparse dot (operator M3, ``string_grouper.py:433-440``)."""
+    if a.n_rows != b.n_rows:
+        raise ValueError("pairwise_dot requires equal row counts")
+    out = np.zeros(a.n_rows, dtype=np.float64)
+    for i in range(a.n_rows):
+        ia = a.indices[a.indptr[i] : a.indptr[i + 1]]
+        va = a.data[a.indptr[i] : a.indptr[i + 1]]
+        ib = b.indices[b.indptr[i] : b.indptr[i + 1]]
+        vb = b.data[b.indptr[i] : b.indptr[i + 1]]
+        # merge-intersect two sorted index lists
+        pos = np.searchsorted(ib, ia)
+        pos_ok = pos < len(ib)
+        hit = np.zeros(len(ia), dtype=bool)
+        hit[pos_ok] = ib[pos[pos_ok]] == ia[pos_ok]
+        out[i] = float(np.dot(va[hit], vb[pos[hit]]))
+    return out

@@ -1,0 +1,173 @@
+"""Connected components over the match edge list (operator A8 in SURVEY.md).
+
+The reference calls ``scipy.sparse.csgraph.connected_components`` on a
+driver-local adjacency matrix (``/root/reference/string_grouper/string_grouper.py:853-863``).
+Here:
+
+* **distributed path** — iterative min-label propagation with pointer
+  jumping, expressed entirely as Dataset transforms: each round sends every
+  node's current label across its edges (a join keyed on node), takes the
+  per-node min (a groupby), then shortcuts label → label-of-label (a second
+  join). Converges in O(log n) rounds for near-dup graphs; every round's
+  label table is a checkpointable Dataset.
+* **driver path** — when the deduped edge list is provably small
+  (≤ ``cc_driver_max_edges``), collapse to numpy pairs on the driver and run
+  array-based union-find with path compression. The edge list after
+  thresholding is orders of magnitude smaller than the input table, so this
+  is the common case even for large inputs.
+
+Labels are canonical: every component is labeled by its minimum ``row_idx``
+— deterministic regardless of partitioning, unlike scipy's arbitrary
+component numbering (the reference's tests only compare group
+*representatives*, which we reproduce exactly in pipelines/cluster.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import EngineConfig
+
+
+def _driver_union_find(l: np.ndarray, r: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+    """Array union-find with path halving; returns min-row_idx label per node."""
+    # compact node ids
+    order = np.argsort(nodes)
+    sorted_nodes = nodes[order]
+    li = np.searchsorted(sorted_nodes, l)
+    ri = np.searchsorted(sorted_nodes, r)
+    n = len(nodes)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(li.tolist(), ri.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by smaller sorted-node value → canonical min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    labels_sorted = sorted_nodes[roots]  # root has the min node value in its tree
+    labels = np.empty(n, dtype=np.int64)
+    labels[order] = labels_sorted
+    return labels
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    nodes: "ray.data.Dataset",
+    config: Optional[EngineConfig] = None,
+    force_distributed: bool = False,
+) -> "ray.data.Dataset":
+    """Label every node with the minimum ``row_idx`` of its component.
+
+    ``edges`` needs columns (left_idx, right_idx); ``nodes`` needs
+    ``row_idx`` (isolated nodes become singleton components).
+    Returns a Dataset with columns (row_idx:int64, group_id:int64).
+    """
+    config = config or EngineConfig()
+    n_edges = edges.count()
+    if not force_distributed and n_edges <= config.cc_driver_max_edges:
+        return _cc_driver(edges, nodes)
+    return _cc_distributed(edges, nodes, config)
+
+
+def _cc_driver(edges: "ray.data.Dataset", nodes: "ray.data.Dataset") -> "ray.data.Dataset":
+    pairs = edges.select_columns(["left_idx", "right_idx"]).take_all()
+    l = np.fromiter((p["left_idx"] for p in pairs), dtype=np.int64, count=len(pairs))
+    r = np.fromiter((p["right_idx"] for p in pairs), dtype=np.int64, count=len(pairs))
+    node_rows = nodes.select_columns(["row_idx"]).take_all()
+    node_ids = np.fromiter((p["row_idx"] for p in node_rows), dtype=np.int64, count=len(node_rows))
+    labels = _driver_union_find(l, r, node_ids)
+    return ray.data.from_arrow(
+        pa.table({"row_idx": pa.array(node_ids), "group_id": pa.array(labels)})
+    )
+
+
+def _cc_distributed(
+    edges: "ray.data.Dataset", nodes: "ray.data.Dataset", config: EngineConfig
+) -> "ray.data.Dataset":
+    """Min-label propagation with pointer jumping, all Dataset ops.
+
+    Round structure (keys of the shuffles in parentheses):
+      1. msg = edges ⋈ labels on left_idx → (right_idx, label)   (join: node)
+         plus the mirrored direction
+      2. labels' = min over {msg, labels}                        (groupby: node)
+      3. pointer jump: node→L ⋈ L→L2 → node→L2                   (join: label)
+    Terminates when sum(labels) stops decreasing (labels only decrease).
+    Joins use functions.joins.shuffle_join (bucketed hash join).
+    """
+    from ..functions.joins import shuffle_join
+
+    labels = nodes.select_columns(["row_idx"]).map_batches(
+        lambda t: pa.table({"node": t["row_idx"], "label": t["row_idx"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    fwd = edges.select_columns(["left_idx", "right_idx"])
+    bwd = fwd.map_batches(
+        lambda t: pa.table({"left_idx": t["right_idx"], "right_idx": t["left_idx"]}),
+        batch_format="pyarrow",
+    )
+    def drop_diag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t["left_idx"], t["right_idx"]))
+
+    both = fwd.union(bwd).map_batches(drop_diag, batch_format="pyarrow").materialize()
+
+    prev_sum = None
+    for _round in range(64):  # backstop; converges in O(log n)
+        joined = shuffle_join(both, labels, on="left_idx", right_on="node", how="inner")
+        msgs = joined.map_batches(
+            lambda t: pa.table({"node": t["right_idx"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        self_msgs = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            msgs.union(self_msgs)
+            .groupby("node")
+            .min("cand")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+            )
+        )
+        # pointer jump: node -> label(label(node))
+        ptr = new_labels.map_batches(
+            lambda t: pa.table({"p_node": t["node"], "p_label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        jumped = shuffle_join(new_labels, ptr, on="label", right_on="p_node", how="left")
+
+        def shortcut(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            lbl = pc.coalesce(
+                t["p_label"].cast(pa.int64()), t["label"].cast(pa.int64())
+            )
+            return pa.table({"node": t["node"].cast(pa.int64()), "label": lbl})
+
+        labels = jumped.map_batches(shortcut, batch_format="pyarrow").materialize()
+        cur_sum = labels.sum("label")
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.map_batches(
+        lambda t: pa.table({"row_idx": t["node"], "group_id": t["label"]}),
+        batch_format="pyarrow",
+    )
