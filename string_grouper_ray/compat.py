@@ -168,6 +168,11 @@ class RayStringGrouper:
     def fit(self) -> "RayStringGrouper":
         cfg = self._config
         self_join = self._duplicates is None
+        # tiny inputs: run the stateful stages as stateless tasks (identical
+        # semantics, no actor-pool spin-up per call)
+        n_total = len(self._master) + (0 if self_join else len(self._duplicates))
+        if n_total < 50_000 and cfg.use_actor_pools:
+            cfg = cfg.with_options(use_actor_pools=False)
         n_blocks = cfg.n_blocks
         left_blocks = n_blocks[0] if n_blocks else None
         left_ds = _series_to_dataset(self._master, left_blocks)
@@ -246,7 +251,10 @@ class RayStringGrouper:
         left_ds = _series_to_dataset(self._master)
         right_ds = _series_to_dataset(self._duplicates)
         vocab = self._vocab if self._explicit_vocab else None
-        out = pairwise_similarities(left_ds, right_ds, self._config, vocab, "text").to_pandas()
+        cfg = self._config
+        if len(self._master) < 50_000 and cfg.use_actor_pools:
+            cfg = cfg.with_options(use_actor_pools=False)
+        out = pairwise_similarities(left_ds, right_ds, cfg, vocab, "text").to_pandas()
         out = out.sort_values("row_idx")
         return pd.Series(
             out["similarity"].to_numpy(dtype=np.float64), name="similarity", index=self._master.index

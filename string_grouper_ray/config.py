@@ -94,6 +94,10 @@ class EngineConfig:
     checkpoint_dir: Optional[str] = None
     # actor-pool sizing for stateful stages; None → let Ray pick
     concurrency: Optional[int] = None
+    # stateful stages run as actor pools (setup once per actor). For tiny
+    # inputs the pool startup dominates, so the compat layer flips this off
+    # and the same callables run as stateless tasks instead.
+    use_actor_pools: bool = True
 
     def __post_init__(self) -> None:
         if self.group_rep not in (GROUP_REP_FIRST, GROUP_REP_CENTROID):

@@ -71,13 +71,16 @@ def fit_vocabulary(
     for other in datasets[1:]:
         ds = ds.union(other)
     n_docs = ds.count()
+    from .functions.stagemap import stage_map_batches
+
     df_rows = (
-        ds.map_batches(
+        stage_map_batches(
+            ds,
             _PartialDocFreq,
-            fn_constructor_args=(config, text_col),
+            (config, text_col),
+            config,
             batch_format="pyarrow",
             batch_size=config.batch_size,
-            concurrency=config.resolve_concurrency(),
         )
         .groupby("ngram")
         .sum("df")

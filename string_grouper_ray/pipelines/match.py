@@ -58,12 +58,15 @@ def vectorize(
     config: EngineConfig,
     text_col: str = "text",
 ) -> "ray.data.Dataset":
-    return ds.map_batches(
+    from ..functions.stagemap import stage_map_batches
+
+    return stage_map_batches(
+        ds,
         TfidfEncoder,
-        fn_constructor_args=(vocab_ref, config, text_col),
+        (vocab_ref, config, text_col),
+        config,
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.resolve_concurrency(),
     )
 
 
@@ -233,12 +236,15 @@ def match_edges(
         right_vec = vectorize(right if right is not None else left, vocab_ref, config, text_col)
         chunks = build_right_chunks(right_vec, config, vocab.size)
         left_vec = vectorize(left, vocab_ref, config, text_col)
-        edges = left_vec.select_columns(["row_idx", "term_ids", "term_weights"]).map_batches(
+        from ..functions.stagemap import stage_map_batches
+
+        edges = stage_map_batches(
+            left_vec.select_columns(["row_idx", "term_ids", "term_weights"]),
             ExactTopKMatcher,
-            fn_constructor_args=(chunks.refs, vocab.size, config),
+            (chunks.refs, vocab.size, config),
+            config,
             batch_format="pyarrow",
             batch_size=config.batch_size,
-            concurrency=config.resolve_concurrency(),
         )
 
     if self_join and config.force_symmetries:

@@ -61,11 +61,14 @@ def pairwise_similarities(
     rt = right.select_columns(["row_idx", text_col]).map_batches(
         lambda t: t.rename_columns(["row_idx", "r_text"]), batch_format="pyarrow"
     )
+    from ..functions.stagemap import stage_map_batches
+
     joined = shuffle_join(lt, rt, on="row_idx", how="inner")
-    return joined.map_batches(
+    return stage_map_batches(
+        joined,
         _PairwiseDot,
-        fn_constructor_args=(vocab_ref, config),
+        (vocab_ref, config),
+        config,
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.resolve_concurrency(),
     )

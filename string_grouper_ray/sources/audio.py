@@ -1,0 +1,102 @@
+"""Audio payload handling (operator M8 in SURVEY.md §2.2).
+
+The clip table carries encoded audio as an opaque ``binary`` column
+(``BASELINE.json.input_hint``). The pipeline itself never decodes it — the
+payload is projected away before the shuffles and joined back by ``clip_id``
+at the end. These helpers exist for:
+
+* deterministic synthetic WAV generation (pure numpy + stdlib ``wave`` —
+  no audio libraries exist in this environment, SURVEY.md §4.3),
+* the per-row invariant check: decoded PCM allclose at SNR ≥ 30 dB plus
+  exact transcript equality.
+
+Real codecs (mp3/opus/...) would be actor-pool decode stages; here only
+``pcm_s16le`` in a WAV container is implemented and anything else raises
+``NotImplementedError`` (clearly-marked stub; the Ray-side plumbing is the
+same for any codec).
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+import zlib
+
+import numpy as np
+
+SUPPORTED_CODEC = "pcm_s16le"
+
+
+def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """float [-1, 1] mono waveform → WAV (PCM16) bytes."""
+    ints = np.clip(pcm, -1.0, 1.0)
+    ints = (ints * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr_hz)
+        w.writeframes(ints.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes, codec: str = SUPPORTED_CODEC) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float waveform in [-1, 1], sample rate).
+
+    Non-PCM codecs are a stub: the decode plumbing (signature, batch shape)
+    is what the pipeline relies on; the codecs themselves need external
+    libraries that are absent here.
+    """
+    if codec != SUPPORTED_CODEC:
+        raise NotImplementedError(
+            f"codec {codec!r}: only {SUPPORTED_CODEC} (WAV) is implemented in this "
+            "environment; plug a real decoder into this seam for other codecs"
+        )
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+    ints = np.frombuffer(raw, dtype=np.int16)
+    return ints.astype(np.float64) / 32767.0, sr
+
+
+def clip_waveform(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Deterministic per-clip waveform: 2-3 sine tones + light noise,
+    seeded by crc32(clip_id) (FIXTURES.md F0)."""
+    seed = zlib.crc32(clip_id.encode("utf-8")) & 0xFFFFFFFF
+    rng = np.random.RandomState(seed)
+    n = max(1, int(sr_hz * dur_ms / 1000))
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    wave_sum = np.zeros(n)
+    for _ in range(rng.randint(2, 4)):
+        freq = rng.uniform(80.0, 3500.0)
+        phase = rng.uniform(0, 2 * np.pi)
+        amp = rng.uniform(0.15, 0.35)
+        wave_sum += amp * np.sin(2 * np.pi * freq * t + phase)
+    wave_sum += rng.normal(0, 0.01, size=n)
+    peak = np.abs(wave_sum).max()
+    if peak > 0.99:
+        wave_sum = wave_sum * (0.99 / peak)
+    return wave_sum
+
+
+def add_noise_at_snr(pcm: np.ndarray, snr_db: float, seed: int) -> np.ndarray:
+    """Additive white noise at the given SNR (used for near-dup payloads,
+    SNR 35-40 dB per FIXTURES.md — above the 30 dB invariant floor)."""
+    rng = np.random.RandomState(seed)
+    sig_power = float(np.mean(pcm**2)) or 1e-12
+    noise_power = sig_power / (10.0 ** (snr_db / 10.0))
+    noisy = pcm + rng.normal(0, np.sqrt(noise_power), size=len(pcm))
+    return np.clip(noisy, -1.0, 1.0)
+
+
+def snr_db(reference: np.ndarray, test: np.ndarray) -> float:
+    """SNR of ``test`` against ``reference`` in dB (the invariant metric)."""
+    n = min(len(reference), len(test))
+    ref = reference[:n]
+    noise = test[:n] - ref
+    sig_power = float(np.mean(ref**2)) or 1e-12
+    noise_power = float(np.mean(noise**2))
+    if noise_power <= 0:
+        return float("inf")
+    return 10.0 * np.log10(sig_power / noise_power)

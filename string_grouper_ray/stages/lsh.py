@@ -1,0 +1,327 @@
+"""LSH candidate generation + exact verification — the 10^12-row match path
+(operator J1's scale strategy; SURVEY.md §3.1 "Ours" pipeline).
+
+Stages (shuffle keys in parentheses — SURVEY.md §4.2):
+
+1. ``MinHashBander`` map_batches → exploded (band_key, row_idx) rows.
+2. **Hot-bucket census** (groupby band_key, count): buckets larger than
+   ``config.max_bucket_size`` are collected to a small driver-side dict and
+   broadcast. This is the explicit salted-key skew handling: a member of a
+   hot bucket with C = ceil(k / max_bucket_size) chunks is re-emitted under
+   C sub-keys (its own chunk paired with every other chunk), so every
+   shuffled group is O(max_bucket_size²) work — no single task goes
+   quadratic in the full bucket size, and no candidate pair is lost.
+3. **Pair emission** (groupby salted band_key): all intra-bucket pairs as
+   canonical (min_idx, max_idx) rows; within-task dedup.
+4. **Pair dedup** (groupby pair key): multi-band repeats collapse to one.
+5. **Verify**: candidate pairs are joined with the tf-idf vectors of both
+   endpoints (two bucketed shuffle_joins) and the exact cosine is computed
+   vectorized; pairs below ``min_similarity`` are dropped. This reproduces
+   the reference's exact similarity values on surviving pairs.
+6. Mirror + per-left top-N (groupby left_idx) → the same edge IR as the
+   exact strategy.
+
+Cross joins carry a side tag; only master×duplicates pairs are emitted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..functions.joins import shuffle_join
+from .minhash import MinHashBander
+from .vectorize import TfidfEncoder
+
+
+def _band_rows(ds, config: EngineConfig, text_col: str, side: int):
+    def add_side(t: pa.Table) -> pa.Table:
+        return t.append_column("side", pa.array(np.full(len(t), side, dtype=np.int8)))
+
+    from ..functions.stagemap import stage_map_batches
+
+    return stage_map_batches(
+        ds.select_columns(["row_idx", text_col]),
+        MinHashBander,
+        (config, text_col),
+        config,
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    ).map_batches(add_side, batch_format="pyarrow")
+
+
+class _SaltHotBuckets:
+    """Re-emit members of hot buckets under chunk-pair sub-keys.
+
+    For a bucket with C chunks, a member in chunk c is emitted under keys
+    (c, j) for all j — pair (c, j) tasks then see exactly the members of
+    chunks c and j. Pairs are generated within a sub-bucket only between
+    (chunk_lo members) × (chunk_hi members) plus chunk-internal pairs when
+    c == j, so every pair of the original bucket appears in exactly one
+    sub-bucket.
+    """
+
+    def __init__(self, hot_ref, max_bucket: int):
+        self.hot: Dict[int, int] = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        self.max_bucket = max_bucket
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        rows = t["row_idx"].to_numpy(zero_copy_only=False)
+        sides = t["side"].to_numpy(zero_copy_only=False)
+        out_key: List[int] = []
+        out_salt: List[int] = []
+        out_row: List[int] = []
+        out_side: List[int] = []
+        out_chunk: List[int] = []
+        out_diag: List[bool] = []
+        for k, r, s in zip(keys.tolist(), rows.tolist(), sides.tolist()):
+            n_chunks = self.hot.get(k)
+            if n_chunks is None:
+                out_key.append(k)
+                out_salt.append(0)
+                out_row.append(r)
+                out_side.append(s)
+                out_chunk.append(0)
+                out_diag.append(True)
+            else:
+                c = hash((r, k)) % n_chunks
+                for j in range(n_chunks):
+                    lo, hi = (c, j) if c <= j else (j, c)
+                    out_key.append(k)
+                    out_salt.append(lo * n_chunks + hi + 1)
+                    out_row.append(r)
+                    out_side.append(s)
+                    out_chunk.append(c)
+                    out_diag.append(lo == hi)
+        return pa.table(
+            {
+                "band_key": pa.array(out_key, type=pa.int64()),
+                "salt": pa.array(out_salt, type=pa.int64()),
+                "row_idx": pa.array(out_row, type=pa.int64()),
+                "side": pa.array(out_side, type=pa.int8()),
+                "chunk": pa.array(out_chunk, type=pa.int32()),
+                "diag_sub": pa.array(out_diag, type=pa.bool_()),
+            }
+        )
+
+
+def _emit_pairs(g: pd.DataFrame, cross: bool) -> pd.DataFrame:
+    """All candidate pairs within one (possibly salted) bucket."""
+    salt = int(g["salt"].iloc[0])
+    rows = g["row_idx"].to_numpy(dtype=np.int64)
+    sides = g["side"].to_numpy()
+    chunks = g["chunk"].to_numpy()
+    empty = pd.DataFrame(
+        {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
+    )
+    if salt > 0:
+        # chunk-pair sub-bucket: diagonal sub-buckets (lo == hi) pair within
+        # the chunk; off-diagonal pair strictly across the two chunks so no
+        # pair is emitted twice across sub-buckets
+        if bool(g["diag_sub"].iloc[0]):
+            l_rows, r_rows, l_sides, r_sides = rows, rows, sides, sides
+            same = True
+        else:
+            uniq = np.unique(chunks)
+            if len(uniq) < 2:
+                return empty
+            lo_mask = chunks == uniq[0]
+            hi_mask = chunks == uniq[1]
+            l_rows, l_sides = rows[lo_mask], sides[lo_mask]
+            r_rows, r_sides = rows[hi_mask], sides[hi_mask]
+            same = False
+    else:
+        l_rows, r_rows, l_sides, r_sides = rows, rows, sides, sides
+        same = True
+
+    li, ri = np.meshgrid(np.arange(len(l_rows)), np.arange(len(r_rows)), indexing="ij")
+    li, ri = li.reshape(-1), ri.reshape(-1)
+    a, b = l_rows[li], r_rows[ri]
+    sa, sb = l_sides[li], r_sides[ri]
+    if cross:
+        keep = sa != sb
+        a2 = np.where(sa == 0, a, b)
+        b2 = np.where(sa == 0, b, a)
+        a, b = a2[keep], b2[keep]
+    else:
+        keep = a < b if same else a != b
+        a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    if len(a) == 0:
+        return pd.DataFrame({"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)})
+    pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pd.DataFrame({"left_idx": pairs[:, 0], "right_idx": pairs[:, 1]})
+
+
+class _VerifyCosine:
+    """Vectorized exact cosine over candidate pairs carrying both vectors."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sims = np.empty(len(batch), dtype=np.float64)
+        l_ids = batch["l_ids"].to_numpy()
+        l_ws = batch["l_ws"].to_numpy()
+        r_ids = batch["r_ids"].to_numpy()
+        r_ws = batch["r_ws"].to_numpy()
+        for i in range(len(batch)):
+            ia = np.asarray(l_ids[i], dtype=np.int64)
+            va = np.asarray(l_ws[i], dtype=np.float64)
+            ib = np.asarray(r_ids[i], dtype=np.int64)
+            vb = np.asarray(r_ws[i], dtype=np.float64)
+            if len(ia) == 0 or len(ib) == 0:
+                sims[i] = 0.0
+                continue
+            pos = np.searchsorted(ib, ia)
+            ok = pos < len(ib)
+            hit = np.zeros(len(ia), dtype=bool)
+            hit[ok] = ib[pos[ok]] == ia[ok]
+            sims[i] = float(np.dot(va[hit], vb[pos[hit]]))
+        out = pd.DataFrame(
+            {
+                "left_idx": batch["left_idx"].to_numpy(dtype=np.int64),
+                "right_idx": batch["right_idx"].to_numpy(dtype=np.int64),
+                "similarity": sims,
+            }
+        )
+        return out[out["similarity"] >= max(self.threshold, 1e-300)]
+
+
+def lsh_match_edges(
+    left: "ray.data.Dataset",
+    right: Optional["ray.data.Dataset"],
+    vocab_ref,
+    config: EngineConfig,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """MinHash/LSH candidates → exact-cosine verify → top-N edge list."""
+    cross = right is not None
+
+    # 1. band rows
+    banded = _band_rows(left, config, text_col, side=0)
+    if cross:
+        banded = banded.union(_band_rows(right, config, text_col, side=1))
+    banded = banded.materialize()
+
+    # 2. hot-bucket census → broadcast salt map {band_key: n_chunks}
+    counts = banded.groupby("band_key").count()
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(
+            __import_pc__().greater(t["count()"], config.max_bucket_size)
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    hot = {
+        int(r["band_key"]): int(-(-r["count()"] // config.max_bucket_size))
+        for r in hot_rows
+    }
+    hot_ref = ray.put(hot)
+
+    from ..functions.stagemap import stage_map_batches
+
+    salted = stage_map_batches(
+        banded,
+        _SaltHotBuckets,
+        (hot_ref, config.max_bucket_size),
+        config,
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    )
+
+    # 3-4. pair emission per salted bucket, then global pair dedup
+    pairs = salted.groupby(["band_key", "salt"]).map_groups(
+        lambda g: _emit_pairs(g, cross), batch_format="pandas"
+    )
+    pairs = (
+        pairs.groupby(["left_idx", "right_idx"])
+        .count()
+        .select_columns(["left_idx", "right_idx"])
+    )
+
+    # 5. verify: join both endpoints' tf-idf vectors, exact cosine
+    lvec = stage_map_batches(
+        left.select_columns(["row_idx", text_col]),
+        TfidfEncoder,
+        (vocab_ref, config, text_col),
+        config,
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    ).map_batches(
+        lambda t: pa.table(
+            {"v_idx": t["row_idx"], "l_ids": t["term_ids"], "l_ws": t["term_weights"]}
+        ),
+        batch_format="pyarrow",
+    )
+    rsrc = right if cross else left
+    rvec = stage_map_batches(
+        rsrc.select_columns(["row_idx", text_col]),
+        TfidfEncoder,
+        (vocab_ref, config, text_col),
+        config,
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    ).map_batches(
+        lambda t: pa.table(
+            {"w_idx": t["row_idx"], "r_ids": t["term_ids"], "r_ws": t["term_weights"]}
+        ),
+        batch_format="pyarrow",
+    )
+    withl = shuffle_join(pairs, lvec, on="left_idx", right_on="v_idx", how="inner")
+    withlr = shuffle_join(withl, rvec, on="right_idx", right_on="w_idx", how="inner")
+    verified = stage_map_batches(
+        withlr,
+        _VerifyCosine,
+        (config.min_similarity,),
+        config,
+        batch_format="pandas",
+        batch_size=config.batch_size,
+    )
+
+    # 6. mirror (self-join pairs were canonicalized) + per-left top-N
+    if not cross:
+        mirrored = verified.map_batches(
+            lambda t: pa.table(
+                {
+                    "left_idx": t["right_idx"],
+                    "right_idx": t["left_idx"],
+                    "similarity": t["similarity"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        diag = left.select_columns(["row_idx"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "left_idx": t["row_idx"],
+                    "right_idx": t["row_idx"],
+                    "similarity": pa.array(np.ones(len(t), dtype=np.float64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        verified = verified.union(mirrored, diag)
+
+    topn = config.max_n_matches
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        if topn is not None and len(g) > topn:
+            g = g.sort_values(["similarity", "right_idx"], ascending=[False, True]).head(topn)
+        return g[["left_idx", "right_idx", "similarity"]]
+
+    if topn is not None:
+        return verified.groupby("left_idx").map_groups(topk, batch_format="pandas")
+    return verified.select_columns(["left_idx", "right_idx", "similarity"])
+
+
+def __import_pc__():
+    import pyarrow.compute as pc
+
+    return pc

@@ -1,0 +1,75 @@
+"""Clip-table fixtures + the per-row payload invariant
+(BASELINE.json input_hint: decoded-PCM allclose at SNR ≥ 30 dB + exact
+transcript equality; FIXTURES.md F0/F6)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from string_grouper_ray.sources.audio import (
+    add_noise_at_snr,
+    clip_waveform,
+    decode_wav,
+    encode_wav,
+    snr_db,
+)
+from string_grouper_ray.sources.synth import generate_clip_table
+
+
+def test_wav_roundtrip():
+    pcm = clip_waveform("clip-00000001", 16000, 500)
+    data = encode_wav(pcm, 16000)
+    decoded, sr = decode_wav(data)
+    assert sr == 16000
+    assert len(decoded) == len(pcm)
+    # PCM16 quantization: ~1e-4 absolute error
+    np.testing.assert_allclose(decoded, np.clip(pcm, -1, 1), atol=2e-4)
+    assert snr_db(pcm, decoded) > 60
+
+
+def test_unsupported_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"xxx", codec="opus")
+
+
+def test_noise_at_snr_hits_target():
+    pcm = clip_waveform("clip-00000002", 16000, 400)
+    noisy = add_noise_at_snr(pcm, snr_db=35.0, seed=7)
+    measured = snr_db(pcm, noisy)
+    assert 33.0 < measured < 37.0
+
+
+def test_generate_clip_table_schema_and_determinism():
+    t1 = generate_clip_table(200, seed=42)
+    t2 = generate_clip_table(200, seed=42)
+    assert t1.schema.names == [
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript", "true_group",
+    ]
+    assert t1.num_rows == 200
+    assert t1.equals(t2)
+    assert len(set(t1["clip_id"].to_pylist())) == 200
+    # clusters exist (some group has >1 member)
+    groups = t1["true_group"].to_numpy()
+    assert (np.bincount(groups - groups.min()) > 1).any()
+
+
+def test_clip_table_payload_invariant():
+    """Every near-dup row's decoded PCM is within SNR ≥ 30 dB of its
+    cluster base clip; transcripts of exact dups match exactly."""
+    t = generate_clip_table(150, seed=7)
+    groups = t["true_group"].to_numpy()
+    payloads = t["bytes"].to_pylist()
+    base_pcm = {}
+    for i in range(t.num_rows):
+        g = groups[i]
+        pcm, sr = decode_wav(payloads[i])
+        assert sr == 16000
+        if g not in base_pcm:
+            base_pcm[g] = pcm
+        else:
+            assert snr_db(base_pcm[g], pcm) >= 30.0, f"row {i} violates SNR floor"
+
+
+def test_clip_table_no_audio_mode():
+    t = generate_clip_table(50, seed=1, with_audio=False)
+    assert "bytes" not in t.schema.names
