@@ -1,0 +1,78 @@
+"""Bucketed grouped-map: the scale-friendly alternative to
+``groupby(key).map_groups(fn)`` when there are MANY SMALL groups.
+
+Ray's ``map_groups`` invokes the UDF once per group; with millions of
+tiny groups the per-group dispatch dominates. Here the shuffle key is
+``hash(group keys) % num_buckets`` — one task per bucket — and the UDF
+receives the WHOLE bucket (all of its groups) as one DataFrame, grouping
+internally with vectorized pandas. Same correctness guarantee: all rows of
+a group land in the same bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_BUCKET = "__sgr_gbucket"
+
+
+def _bucket_of(t: pa.Table, keys: List[str], num_buckets: int) -> pa.Array:
+    h = np.zeros(len(t), dtype=np.uint64)
+    for k in keys:
+        vals = t[k].to_numpy(zero_copy_only=False)
+        if vals.dtype.kind in "iu":
+            hv = vals.astype(np.uint64, copy=False)
+        else:
+            hv = np.fromiter(
+                (hash(v) & 0xFFFFFFFFFFFFFFFF for v in vals),
+                dtype=np.uint64,
+                count=len(vals),
+            )
+        with np.errstate(over="ignore"):
+            h = (h ^ hv) * np.uint64(0x9E3779B97F4A7C15)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
+def bucketed_group_map(
+    ds: "ray.data.Dataset",
+    keys: List[str],
+    bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """``bucket_fn`` sees one whole bucket (all rows of every group hashed
+    into it, WITHOUT the bucket column) and must handle grouping itself."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(_BUCKET, _bucket_of(t, keys, num_buckets))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=[_BUCKET]))
+
+    return ds.map_batches(tag, batch_format="pyarrow").groupby(_BUCKET).map_groups(
+        run, batch_format="pandas"
+    )
+
+
+def per_group_topk(
+    ds: "ray.data.Dataset",
+    group_key: str,
+    sort_cols: List[str],
+    ascending: List[bool],
+    k: int,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Vectorized per-group top-k: sort within bucket, ``groupby.head(k)``."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_key] + sort_cols, ascending=[True] + ascending,
+                            kind="stable")
+        return df.groupby(group_key, sort=False).head(k)
+
+    return bucketed_group_map(ds, [group_key], fn, num_buckets)

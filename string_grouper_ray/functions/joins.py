@@ -91,6 +91,8 @@ def shuffle_join(
     right_on: Optional[str] = None,
     how: str = "inner",
     num_buckets: int = 32,
+    left_schema: Optional[pa.Schema] = None,
+    right_schema: Optional[pa.Schema] = None,
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two arbitrarily large datasets.
 
@@ -100,10 +102,14 @@ def shuffle_join(
     avoid. Size ``num_buckets`` ≈ total rows / desired bucket rows; skewed
     single keys are bounded by their own frequency (salt upstream when a
     single key is hot).
+
+    Pass ``left_schema`` / ``right_schema`` when the input is a lazy plan
+    whose schema Ray would otherwise have to execute blocks to discover
+    (``Dataset.schema()`` on an unexecuted shuffle triggers real work).
     """
     right_on = right_on or on
-    left_schema = left.schema()
-    right_schema = right.schema()
+    left_schema = left_schema or left.schema()
+    right_schema = right_schema or right.schema()
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     all_fields = {}
@@ -133,11 +139,20 @@ def shuffle_join(
 
     merge_how = "left" if how == "left" else "inner"
     out_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    int_cols = [
+        name for name, typ in all_fields.items() if pa.types.is_integer(typ)
+    ]
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g[_SIDE_COL] == 0][left_cols]
         rhs = g[g[_SIDE_COL] == 1][right_cols]
         merged = lhs.merge(rhs, left_on=on, right_on=right_on, how=merge_how)
+        # keep integer columns integer across buckets: pandas degrades int64
+        # to float64 when a left join introduces NaN, and only in the buckets
+        # where it does — normalize to nullable Int64 so block schemas agree
+        for c in int_cols:
+            if c in merged.columns and merged[c].dtype.kind == "f":
+                merged[c] = merged[c].astype("Int64")
         return merged[[c for c in out_cols if c in merged.columns]]
 
     return tagged.groupby(_BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")

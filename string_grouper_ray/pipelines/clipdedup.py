@@ -1,0 +1,156 @@
+"""Flagship pipeline: end-to-end near-duplicate detection + clustering over
+the audio clip table (the north_star pipeline of BASELINE.json).
+
+    read (columns pruned: clip_id, transcript)       sources
+      → row_idx assignment (zip-with-range)
+      → MinHash/LSH candidates + exact verify        stages/lsh.py
+        (or exact blocked matmul below the LSH cutover)
+      → containment pass (prefix truncations)        stages/suffixstage.py
+      → union of edge sets
+      → connected components                         state/unionfind.py
+      → per-group representative                     pipelines/cluster.py
+      → assignments joined back onto the FULL table  (audio bytes move
+        exactly once, in this final join)
+      → sharded parquet out
+
+Per-stage checkpoints via state/checkpoint.py: a killed run resumes from
+the last completed stage. The audio payload never enters any shuffle
+before the final hydration join.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..functions.joins import shuffle_join
+from ..sparse import Vocabulary
+from ..state.checkpoint import CheckpointManager
+from ..state.unionfind import connected_components
+from ..stages.suffixstage import containment_edges
+from .cluster import group_assignments
+from .match import match_edges
+
+
+def add_row_idx(ds: "ray.data.Dataset", count: Optional[int] = None) -> "ray.data.Dataset":
+    """Assign a dense, deterministic row_idx by zipping with a range dataset
+    (dataset order is deterministic for a deterministic file listing)."""
+    n = count if count is not None else ds.count()
+    idx = ray.data.range(n).map_batches(
+        lambda t: t.rename_columns(["row_idx"]), batch_format="pyarrow"
+    )
+    return ds.zip(idx)
+
+
+def dedup_clip_table(
+    input_path: str,
+    output_path: Optional[str] = None,
+    config: Optional[EngineConfig] = None,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    with_containment: bool = True,
+    hydrate_payload: bool = True,
+) -> "ray.data.Dataset":
+    """Dedup/cluster a clip table from parquet; returns (or writes) the full
+    table + (group_id, group_rep_id) columns."""
+    config = config or EngineConfig()
+    ckpt = CheckpointManager(config.checkpoint_dir, config)
+
+    # prune at the read: only the narrow columns enter the match path
+    narrow = ray.data.read_parquet(input_path, columns=[id_col, text_col])
+    n = narrow.count()
+    narrow = add_row_idx(narrow, n).map_batches(
+        lambda t: pa.table(
+            {"row_idx": t["row_idx"], "clip_id": t[id_col], "text": t[text_col]}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def compute_edges():
+        edges, _vocab = match_edges(
+            narrow.select_columns(["row_idx", "text"]), None, config
+        )
+        if with_containment:
+            cont = containment_edges(
+                narrow.select_columns(["row_idx", "text"]), config, "text"
+            )
+            edges = (
+                edges.union(cont)
+                .groupby(["left_idx", "right_idx"])
+                .max("similarity")
+                .map_batches(
+                    lambda t: t.rename_columns(["left_idx", "right_idx", "similarity"]),
+                    batch_format="pyarrow",
+                )
+            )
+        return edges
+
+    edges = ckpt.stage("edges", compute_edges)
+
+    def compute_groups():
+        return group_assignments(
+            narrow.select_columns(["row_idx", "text"]), config, None, "text", edges=edges
+        )
+
+    groups = ckpt.stage("groups", compute_groups)
+
+    # map row_idx-based assignment back to clip ids
+    idx_to_id = narrow.select_columns(["row_idx", "clip_id"])
+    assign = shuffle_join(
+        groups, idx_to_id, on="group_rep_idx", right_on="row_idx", how="inner",
+        left_schema=pa.schema(
+            [("row_idx", pa.int64()), ("group_id", pa.int64()), ("group_rep_idx", pa.int64())]
+        ),
+        right_schema=pa.schema([("row_idx", pa.int64()), ("clip_id", pa.string())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "row_idx": t["row_idx"],
+                "group_id": t["group_id"],
+                "group_rep_id": t["clip_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    assign = shuffle_join(
+        assign, narrow.select_columns(["row_idx", "clip_id"]), on="row_idx", how="inner",
+        left_schema=pa.schema(
+            [("row_idx", pa.int64()), ("group_id", pa.int64()), ("group_rep_id", pa.string())]
+        ),
+        right_schema=pa.schema([("row_idx", pa.int64()), ("clip_id", pa.string())]),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "group_id": t["group_id"].cast(pa.int64()),
+                "group_rep_id": t["group_rep_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    if not hydrate_payload:
+        out = assign
+    else:
+        # the ONE join that moves the audio payload
+        full = ray.data.read_parquet(input_path)
+        full_schema = ray.data.read_parquet(input_path).schema()
+        out = shuffle_join(
+            full, assign, on=id_col, right_on="clip_id", how="left",
+            left_schema=full_schema,
+            right_schema=pa.schema(
+                [("clip_id", pa.string()), ("group_id", pa.int64()),
+                 ("group_rep_id", pa.string())]
+            ),
+            num_buckets=64,
+        )
+    if output_path:
+        out.write_parquet(output_path)
+        return ray.data.read_parquet(output_path)
+    return out

@@ -63,7 +63,11 @@ def group_assignments(
                 batch_format="pyarrow",
             )
         )
-        labeled = shuffle_join(labels, weights, on="row_idx", how="left")
+        labeled = shuffle_join(
+            labels, weights, on="row_idx", how="left",
+            left_schema=pa.schema([("row_idx", pa.int64()), ("group_id", pa.int64())]),
+            right_schema=pa.schema([("row_idx", pa.int64()), ("weight", pa.float64())]),
+        )
 
         def fill_weight(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -95,18 +99,29 @@ def group_assignments(
         labeled = labels.map_batches(pos_weight, batch_format="pyarrow")
         maximize = False
 
-    def pick_rep(g: pd.DataFrame) -> pd.DataFrame:
+    def reps_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # argmax (centroid) / argmin (first) of weight; ties → lowest row_idx
-        g = g.sort_values(["weight", "row_idx"], ascending=[not maximize, True])
+        df = df.sort_values(
+            ["group_id", "weight", "row_idx"],
+            ascending=[True, not maximize, True],
+            kind="stable",
+        )
+        firsts = df.groupby("group_id", sort=False).head(1)
         return pd.DataFrame(
             {
-                "group_id": [int(g["group_id"].iloc[0])],
-                "group_rep_idx": [int(g["row_idx"].iloc[0])],
+                "group_id": firsts["group_id"].to_numpy(dtype=np.int64),
+                "group_rep_idx": firsts["row_idx"].to_numpy(dtype=np.int64),
             }
         )
 
-    reps = labeled.groupby("group_id").map_groups(pick_rep, batch_format="pandas")
-    out = shuffle_join(labels, reps, on="group_id", how="inner")
+    from ..functions.grouped import bucketed_group_map
+
+    reps = bucketed_group_map(labeled, ["group_id"], reps_bucket)
+    out = shuffle_join(
+        labels, reps, on="group_id", how="inner",
+        left_schema=pa.schema([("row_idx", pa.int64()), ("group_id", pa.int64())]),
+        right_schema=pa.schema([("group_id", pa.int64()), ("group_rep_idx", pa.int64())]),
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         return pa.table(

@@ -1,0 +1,388 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors, each a Dataset → Dataset transform:
+
+* :func:`exact_dedup` — hash-partition on the content, keep the first
+  (minimum id) row per distinct value. One groupby shuffle.
+* :func:`minhash_dedup` — shingle → 128-perm MinHash → LSH bands →
+  bucket groupby → candidate pairs → **true Jaccard** verify on shingle
+  sets → connected components → keep min id per cluster.
+* :func:`simhash_dedup` — 64-bit SimHash over shingle hashes, Hamming ≤ k
+  via 4-way band partitioning (any pair within distance 3 shares one of 4
+  16-bit bands exactly), verify Hamming, cluster, keep min id.
+* :func:`ngram_jaccard_pairs` — EXACT n-gram Jaccard join (no hashing):
+  explode distinct shingles, groupby shingle, count shared shingles per
+  pair, Jaccard from the counts. SQL-expressible → a strong DuckDB oracle.
+* embedding-cosine near-dup lives in pipelines/ann.py
+  (:func:`~string_grouper_ray.pipelines.ann.embedding_near_dup_pairs`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..config import EngineConfig
+from ..functions.stagemap import stage_map_batches
+from ..state.unionfind import connected_components
+from ..stages.minhash import MinHashBander, band_keys_matrix
+from ..text import NGramTokenizer
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """One row per distinct text, keeping the minimum id
+    (= ``SELECT min(id) AS id, text GROUP BY text``)."""
+    out = ds.select_columns([id_col, text_col]).groupby(text_col).min(id_col)
+    return out.map_batches(
+        lambda t: pa.table({id_col: t[f"min({id_col})"], text_col: t[text_col]}),
+        batch_format="pyarrow",
+    )
+
+
+class _ShingleJaccardVerify:
+    """True Jaccard on distinct shingle sets for candidate pairs carrying
+    both shingle arrays (sorted uint64)."""
+
+    def __init__(self, threshold: float):
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.packing import unpack_u64
+
+        sims = np.empty(len(batch), dtype=np.float64)
+        ls = batch["l_sh"].to_numpy()
+        rs = batch["r_sh"].to_numpy()
+        for i in range(len(batch)):
+            a = unpack_u64(ls[i])
+            b = unpack_u64(rs[i])
+            if len(a) == 0 and len(b) == 0:
+                sims[i] = 1.0
+                continue
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            sims[i] = inter / union if union else 0.0
+        out = pd.DataFrame(
+            {
+                "left_idx": batch["left_idx"].to_numpy(dtype=np.int64),
+                "right_idx": batch["right_idx"].to_numpy(dtype=np.int64),
+                "similarity": sims,
+            }
+        )
+        return out[out["similarity"] >= self.threshold]
+
+
+class _ShingleColumn:
+    def __init__(self, config: EngineConfig, text_col: str, out_prefix: str):
+        self.tokenizer = NGramTokenizer(config)
+        self.text_col = text_col
+        self.out_prefix = out_prefix
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.packing import pack_u64
+
+        shingles = self.tokenizer.shingle_hashes_batch(t[self.text_col].to_pylist())
+        arr = pa.array([pack_u64(np.sort(s)) for s in shingles], type=pa.binary())
+        return pa.table(
+            {
+                f"{self.out_prefix}_idx": t["row_idx"],
+                f"{self.out_prefix}_sh": arr,
+            }
+        )
+
+
+def _cluster_and_keep(
+    edges: "ray.data.Dataset", ds: "ray.data.Dataset", id_col: str, config: EngineConfig
+) -> "ray.data.Dataset":
+    """CC over candidate edges → (id, cluster_id, keep=min-of-cluster)."""
+    labels = connected_components(edges, ds.select_columns(["row_idx"]), config)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: t["row_idx"],
+                "cluster_id": t["group_id"],
+                "keep": pc.equal(t["row_idx"], t["group_id"]),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.7,
+    config: Optional[EngineConfig] = None,
+) -> "ray.data.Dataset":
+    """MinHash+LSH near-dedup with true-Jaccard verification.
+
+    Input needs a unique integer ``id_col``; it doubles as ``row_idx``.
+    Output: (id, cluster_id, keep) for every input row.
+    """
+    config = config or EngineConfig()
+    from ..functions.joins import shuffle_join
+    from ..stages.lsh import _SaltHotBuckets, _emit_pairs
+
+    base = ds.map_batches(
+        lambda t: pa.table({"row_idx": t[id_col].cast(pa.int64()), "text": t[text_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    banded = stage_map_batches(
+        base, MinHashBander, (config, "text"), config,
+        batch_format="pyarrow", batch_size=config.batch_size,
+    ).map_batches(
+        lambda t: t.append_column("side", pa.array(np.zeros(len(t), dtype=np.int8))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    counts = banded.groupby("band_key").count()
+    import pyarrow.compute as pc
+
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], config.max_bucket_size)),
+        batch_format="pyarrow",
+    ).take_all()
+    hot = {
+        int(r["band_key"]): int(-(-r["count()"] // config.max_bucket_size)) for r in hot_rows
+    }
+    salted = stage_map_batches(
+        banded, _SaltHotBuckets, (ray.put(hot), config.max_bucket_size), config,
+        batch_format="pyarrow", batch_size=config.batch_size,
+    )
+    from ..functions.grouped import bucketed_group_map
+
+    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _emit_pairs(g, False)
+            for _, g in df.groupby(["band_key", "salt"], sort=False)
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = bucketed_group_map(salted, ["band_key", "salt"], emit_bucket)
+    pairs = (
+        pairs.groupby(["left_idx", "right_idx"]).count().select_columns(["left_idx", "right_idx"])
+    )
+
+    lsh_l = stage_map_batches(base, _ShingleColumn, (config, "text", "l"), config,
+                              batch_format="pyarrow", batch_size=config.batch_size)
+    lsh_r = stage_map_batches(base, _ShingleColumn, (config, "text", "r"), config,
+                              batch_format="pyarrow", batch_size=config.batch_size)
+    pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
+    lsch = pa.schema([("l_idx", pa.int64()), ("l_sh", pa.binary())])
+    rsch = pa.schema([("r_idx", pa.int64()), ("r_sh", pa.binary())])
+    withl_schema = pa.schema(
+        list(pair_schema) + [pa.field("l_idx", pa.int64()), pa.field("l_sh", pa.binary())]
+    )
+    withl = shuffle_join(pairs, lsh_l, on="left_idx", right_on="l_idx", how="inner",
+                         left_schema=pair_schema, right_schema=lsch)
+    withlr = shuffle_join(withl, lsh_r, on="right_idx", right_on="r_idx", how="inner",
+                          left_schema=withl_schema, right_schema=rsch)
+    verified = stage_map_batches(
+        withlr, _ShingleJaccardVerify, (jaccard_threshold,), config,
+        batch_format="pandas", batch_size=config.batch_size,
+    )
+    return _cluster_and_keep(verified, base, id_col, config)
+
+
+class _SimHasher:
+    """64-bit SimHash over shingle hashes + 4×16-bit band keys."""
+
+    def __init__(self, config: EngineConfig, text_col: str):
+        self.tokenizer = NGramTokenizer(config)
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash(shingles: np.ndarray) -> np.uint64:
+        if len(shingles) == 0:
+            return np.uint64(0)
+        bits = ((shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                out |= np.uint64(1) << np.uint64(b)
+        return out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        shingles = self.tokenizer.shingle_hashes_batch(t[self.text_col].to_pylist())
+        sigs = np.array([self.simhash(s) for s in shingles], dtype=np.uint64)
+        rows = t["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_band, out_key, out_row, out_sig = [], [], [], []
+        for b in range(4):
+            band_val = ((sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            out_band.append(np.full(len(sigs), b, dtype=np.int8))
+            out_key.append(band_val)
+            out_row.append(rows)
+            out_sig.append(sigs)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band), type=pa.int8()),
+                "band_val": pa.array(np.concatenate(out_key)),
+                "row_idx": pa.array(np.concatenate(out_row)),
+                "sig": pa.array(np.concatenate(out_sig), type=pa.uint64()),
+            }
+        )
+
+
+def simhash_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    config: Optional[EngineConfig] = None,
+) -> "ray.data.Dataset":
+    """SimHash near-dedup: any pair within Hamming distance 3 of a 64-bit
+    SimHash shares at least one of the 4 16-bit bands exactly (pigeonhole),
+    so bucketing on (band, band_val) has full recall for k ≤ 3."""
+    config = config or EngineConfig()
+    base = ds.map_batches(
+        lambda t: pa.table({"row_idx": t[id_col].cast(pa.int64()), "text": t[text_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+    banded = stage_map_batches(
+        base, _SimHasher, (config, text_col if text_col == "text" else "text"), config,
+        batch_format="pyarrow", batch_size=config.batch_size,
+    )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g["row_idx"].to_numpy(dtype=np.int64)
+        sigs = g["sig"].to_numpy()
+        if len(rows) < 2 or len(rows) > 2000:  # hot-bucket guard
+            return pd.DataFrame({"left_idx": np.empty(0, np.int64),
+                                 "right_idx": np.empty(0, np.int64)})
+        li, ri = np.triu_indices(len(rows), k=1)
+        x = sigs[li].astype(np.uint64) ^ sigs[ri].astype(np.uint64)
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        keep = ham <= max_hamming
+        a, b = rows[li][keep], rows[ri][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"left_idx": lo, "right_idx": hi}).drop_duplicates()
+
+    from ..functions.grouped import bucketed_group_map
+
+    def simhash_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs_in_bucket(g) for _, g in df.groupby(["band", "band_val"], sort=False)]
+        if not outs:
+            return pd.DataFrame({"left_idx": np.empty(0, np.int64),
+                                 "right_idx": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = bucketed_group_map(banded, ["band", "band_val"], simhash_bucket)
+    pairs = (
+        pairs.groupby(["left_idx", "right_idx"]).count().select_columns(["left_idx", "right_idx"])
+    )
+    edges = pairs.map_batches(
+        lambda t: t.append_column("similarity", pa.array(np.ones(len(t), dtype=np.float64))),
+        batch_format="pyarrow",
+    )
+    return _cluster_and_keep(edges, base, id_col, config)
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    ngram_size: int = 3,
+    config: Optional[EngineConfig] = None,
+) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard self-join: pairs with
+    |shared distinct n-grams| / |union| ≥ threshold.
+
+    Shuffle key = the literal n-gram (hot grams bounded by a per-gram cap is
+    NOT applied — this operator is exact and meant for bounded domains like
+    names; use minhash_dedup for web-scale text). n-grams here are raw
+    character substrings of the ORIGINAL text (no normalization), so the
+    DuckDB oracle is a direct substring expression.
+    """
+    config = config or EngineConfig()
+
+    class _ExplodeGrams:
+        def __init__(self, n: int):
+            self.n = n
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out_id, out_g, counts = [], [], []
+            for i, s in enumerate(t[text_col].to_pylist()):
+                grams = {s[j : j + self.n] for j in range(len(s) - self.n + 1)}
+                counts.append(len(grams))
+                out_id.extend([ids[i]] * len(grams))
+                out_g.extend(grams)
+            return pa.table(
+                {
+                    "doc": pa.array(out_id, type=pa.int64()),
+                    "gram": pa.array(out_g, type=pa.string()),
+                }
+            )
+
+    grams = stage_map_batches(ds, _ExplodeGrams, (ngram_size,), config,
+                              batch_format="pyarrow", batch_size=config.batch_size)
+    grams = grams.materialize()
+    # per-doc distinct gram counts (for the union term)
+    doc_sizes = grams.groupby("doc").count().to_pandas()
+    sizes = dict(zip(doc_sizes["doc"].astype(np.int64), doc_sizes["count()"].astype(np.int64)))
+    sizes_ref = ray.put(sizes)
+
+    def pairs_for_gram(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.unique(g["doc"].to_numpy(dtype=np.int64))
+        if len(docs) < 2:
+            return pd.DataFrame({"left_idx": np.empty(0, np.int64),
+                                 "right_idx": np.empty(0, np.int64)})
+        li, ri = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame({"left_idx": docs[li], "right_idx": docs[ri]})
+
+    from ..functions.grouped import bucketed_group_map
+
+    def gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [pairs_for_gram(g) for _, g in df.groupby("gram", sort=False)]
+        if not outs:
+            return pd.DataFrame({"left_idx": np.empty(0, np.int64),
+                                 "right_idx": np.empty(0, np.int64)})
+        return pd.concat(outs, ignore_index=True)
+
+    shared = bucketed_group_map(grams, ["gram"], gram_bucket)
+    shared_counts = shared.groupby(["left_idx", "right_idx"]).count()
+
+    class _Jaccard:
+        def __init__(self, sizes_ref, threshold):
+            self.sizes = ray.get(sizes_ref) if isinstance(sizes_ref, ray.ObjectRef) else sizes_ref
+            self.threshold = threshold
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            l = t["left_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = t["right_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            inter = t["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+            la = np.array([self.sizes.get(int(x), 0) for x in l], dtype=np.float64)
+            ra = np.array([self.sizes.get(int(x), 0) for x in r], dtype=np.float64)
+            union = la + ra - inter
+            jac = np.where(union > 0, inter / union, 0.0)
+            keep = jac >= self.threshold
+            return pa.table(
+                {
+                    "left_id": pa.array(l[keep]),
+                    "right_id": pa.array(r[keep]),
+                    "jaccard": pa.array(jac[keep]),
+                }
+            )
+
+    return stage_map_batches(shared_counts, _Jaccard, (sizes_ref, threshold), config,
+                             batch_format="pyarrow")

@@ -199,7 +199,9 @@ def symmetrize_edges(
         ones = pa.array(np.ones(len(t), dtype=np.float64))
         return pa.table({"left_idx": idx, "right_idx": idx, "similarity": ones})
 
-    off = edges.map_batches(drop_diag, batch_format="pyarrow")
+    # materialize before the fan-out: both `off` and its mirror descend from
+    # the full match DAG, which would otherwise execute twice
+    off = edges.map_batches(drop_diag, batch_format="pyarrow").materialize()
     mirrored = off.map_batches(swap, batch_format="pyarrow")
     diagonal = nodes.select_columns(["row_idx"]).map_batches(diag, batch_format="pyarrow")
     unioned = off.union(mirrored, diagonal)
@@ -233,9 +235,15 @@ def match_edges(
 
         edges = lsh_match_edges(left, right, vocab_ref, config, text_col)
     else:
-        right_vec = vectorize(right if right is not None else left, vocab_ref, config, text_col)
+        if self_join:
+            # encode once: the same vectorized dataset feeds both the
+            # broadcast right chunks and the streaming left side
+            vec = vectorize(left, vocab_ref, config, text_col).materialize()
+            right_vec = left_vec = vec
+        else:
+            right_vec = vectorize(right, vocab_ref, config, text_col)
+            left_vec = vectorize(left, vocab_ref, config, text_col)
         chunks = build_right_chunks(right_vec, config, vocab.size)
-        left_vec = vectorize(left, vocab_ref, config, text_col)
         from ..functions.stagemap import stage_map_batches
 
         edges = stage_map_batches(

@@ -29,17 +29,26 @@ def best_master_per_dupe(
     """(right_idx, best_left_idx, similarity): max-sim master per duplicate,
     ties broken by the lowest master row (string_grouper.py:803-807)."""
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["similarity", "left_idx"], ascending=[False, True])
+    import numpy as np
+
+    from ..functions.grouped import bucketed_group_map
+
+    def best_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["right_idx", "similarity", "left_idx"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        firsts = df.groupby("right_idx", sort=False).head(1)
         return pd.DataFrame(
             {
-                "right_idx": [int(g["right_idx"].iloc[0])],
-                "best_left_idx": [int(g["left_idx"].iloc[0])],
-                "similarity": [float(g["similarity"].iloc[0])],
+                "right_idx": firsts["right_idx"].to_numpy(dtype=np.int64),
+                "best_left_idx": firsts["left_idx"].to_numpy(dtype=np.int64),
+                "similarity": firsts["similarity"].to_numpy(dtype=np.float64),
             }
         )
 
-    return edges.groupby("right_idx").map_groups(pick, batch_format="pandas")
+    return bucketed_group_map(edges, ["right_idx"], best_bucket)
 
 
 def nearest_join(

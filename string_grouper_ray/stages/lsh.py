@@ -160,23 +160,39 @@ def _emit_pairs(g: pd.DataFrame, cross: bool) -> pd.DataFrame:
     return pd.DataFrame({"left_idx": pairs[:, 0], "right_idx": pairs[:, 1]})
 
 
+def _pack_side(t: pa.Table, idx_name: str, vec_name: str) -> pa.Table:
+    """(row_idx, term_ids, term_weights) → (idx, packed-binary vector)."""
+    from ..functions.packing import pack_vector
+
+    ids_col = t["term_ids"].to_pylist()
+    ws_col = t["term_weights"].to_pylist()
+    packed = [
+        pack_vector(np.asarray(i, dtype=np.int32), np.asarray(w, dtype=np.float64))
+        for i, w in zip(ids_col, ws_col)
+    ]
+    return pa.table(
+        {idx_name: t["row_idx"], vec_name: pa.array(packed, type=pa.binary())}
+    )
+
+
 class _VerifyCosine:
-    """Vectorized exact cosine over candidate pairs carrying both vectors."""
+    """Vectorized exact cosine over candidate pairs carrying both vectors
+    (binary-packed by :func:`_pack_side` so the join transport is robust)."""
 
     def __init__(self, threshold: float):
         self.threshold = threshold
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.packing import unpack_vector
+
         sims = np.empty(len(batch), dtype=np.float64)
-        l_ids = batch["l_ids"].to_numpy()
-        l_ws = batch["l_ws"].to_numpy()
-        r_ids = batch["r_ids"].to_numpy()
-        r_ws = batch["r_ws"].to_numpy()
+        l_vecs = batch["l_vec"].to_numpy()
+        r_vecs = batch["r_vec"].to_numpy()
         for i in range(len(batch)):
-            ia = np.asarray(l_ids[i], dtype=np.int64)
-            va = np.asarray(l_ws[i], dtype=np.float64)
-            ib = np.asarray(r_ids[i], dtype=np.int64)
-            vb = np.asarray(r_ws[i], dtype=np.float64)
+            ia, va = unpack_vector(l_vecs[i])
+            ib, vb = unpack_vector(r_vecs[i])
+            ia = ia.astype(np.int64)
+            ib = ib.astype(np.int64)
             if len(ia) == 0 or len(ib) == 0:
                 sims[i] = 0.0
                 continue
@@ -236,10 +252,23 @@ def lsh_match_edges(
         batch_size=config.batch_size,
     )
 
-    # 3-4. pair emission per salted bucket, then global pair dedup
-    pairs = salted.groupby(["band_key", "salt"]).map_groups(
-        lambda g: _emit_pairs(g, cross), batch_format="pandas"
-    )
+    # 3-4. pair emission per salted bucket (bucketed grouped-map: one task
+    # per hash bucket, a tight numpy loop over the groups inside), then
+    # global pair dedup
+    from ..functions.grouped import bucketed_group_map
+
+    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _emit_pairs(g, cross)
+            for _, g in df.groupby(["band_key", "salt"], sort=False)
+        ]
+        if not outs:
+            return pd.DataFrame(
+                {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = bucketed_group_map(salted, ["band_key", "salt"], emit_bucket)
     pairs = (
         pairs.groupby(["left_idx", "right_idx"])
         .count()
@@ -254,12 +283,7 @@ def lsh_match_edges(
         config,
         batch_format="pyarrow",
         batch_size=config.batch_size,
-    ).map_batches(
-        lambda t: pa.table(
-            {"v_idx": t["row_idx"], "l_ids": t["term_ids"], "l_ws": t["term_weights"]}
-        ),
-        batch_format="pyarrow",
-    )
+    ).map_batches(lambda t: _pack_side(t, "v_idx", "l_vec"), batch_format="pyarrow")
     rsrc = right if cross else left
     rvec = stage_map_batches(
         rsrc.select_columns(["row_idx", text_col]),
@@ -268,14 +292,17 @@ def lsh_match_edges(
         config,
         batch_format="pyarrow",
         batch_size=config.batch_size,
-    ).map_batches(
-        lambda t: pa.table(
-            {"w_idx": t["row_idx"], "r_ids": t["term_ids"], "r_ws": t["term_weights"]}
-        ),
-        batch_format="pyarrow",
+    ).map_batches(lambda t: _pack_side(t, "w_idx", "r_vec"), batch_format="pyarrow")
+    pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
+    lvec_schema = pa.schema([("v_idx", pa.int64()), ("l_vec", pa.binary())])
+    rvec_schema = pa.schema([("w_idx", pa.int64()), ("r_vec", pa.binary())])
+    withl_schema = pa.schema(
+        list(pair_schema) + [pa.field("v_idx", pa.int64()), pa.field("l_vec", pa.binary())]
     )
-    withl = shuffle_join(pairs, lvec, on="left_idx", right_on="v_idx", how="inner")
-    withlr = shuffle_join(withl, rvec, on="right_idx", right_on="w_idx", how="inner")
+    withl = shuffle_join(pairs, lvec, on="left_idx", right_on="v_idx", how="inner",
+                         left_schema=pair_schema, right_schema=lvec_schema)
+    withlr = shuffle_join(withl, rvec, on="right_idx", right_on="w_idx", how="inner",
+                          left_schema=withl_schema, right_schema=rvec_schema)
     verified = stage_map_batches(
         withlr,
         _VerifyCosine,
@@ -287,6 +314,7 @@ def lsh_match_edges(
 
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N
     if not cross:
+        verified = verified.materialize()  # consumed twice (self + mirror)
         mirrored = verified.map_batches(
             lambda t: pa.table(
                 {
@@ -310,14 +338,12 @@ def lsh_match_edges(
         verified = verified.union(mirrored, diag)
 
     topn = config.max_n_matches
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        if topn is not None and len(g) > topn:
-            g = g.sort_values(["similarity", "right_idx"], ascending=[False, True]).head(topn)
-        return g[["left_idx", "right_idx", "similarity"]]
-
     if topn is not None:
-        return verified.groupby("left_idx").map_groups(topk, batch_format="pandas")
+        from ..functions.grouped import per_group_topk
+
+        return per_group_topk(
+            verified, "left_idx", ["similarity", "right_idx"], [False, True], topn
+        ).select_columns(["left_idx", "right_idx", "similarity"])
     return verified.select_columns(["left_idx", "right_idx", "similarity"])
 
 

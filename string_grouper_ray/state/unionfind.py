@@ -130,7 +130,11 @@ def _cc_distributed(
 
     prev_sum = None
     for _round in range(64):  # backstop; converges in O(log n)
-        joined = shuffle_join(both, labels, on="left_idx", right_on="node", how="inner")
+        joined = shuffle_join(
+            both, labels, on="left_idx", right_on="node", how="inner",
+            left_schema=pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())]),
+            right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+        )
         msgs = joined.map_batches(
             lambda t: pa.table({"node": t["right_idx"], "cand": t["label"]}),
             batch_format="pyarrow",
@@ -152,7 +156,11 @@ def _cc_distributed(
             lambda t: pa.table({"p_node": t["node"], "p_label": t["label"]}),
             batch_format="pyarrow",
         )
-        jumped = shuffle_join(new_labels, ptr, on="label", right_on="p_node", how="left")
+        jumped = shuffle_join(
+            new_labels, ptr, on="label", right_on="p_node", how="left",
+            left_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
+            right_schema=pa.schema([("p_node", pa.int64()), ("p_label", pa.int64())]),
+        )
 
         def shortcut(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc

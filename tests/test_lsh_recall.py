@@ -1,0 +1,94 @@
+"""LSH pipeline recall vs the exact matcher (SURVEY.md §5: recall ≥ 0.99 at
+the same shingle/threshold/signature config), plus salted-skew coverage."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from string_grouper_ray.config import EngineConfig
+from string_grouper_ray.pipelines.match import match_edges
+from string_grouper_ray.sources.synth import generate_clip_table
+
+
+def _edges_set(edges_ds, sym=True):
+    df = edges_ds.to_pandas()
+    pairs = set()
+    for l, r in zip(df["left_idx"], df["right_idx"]):
+        if l == r:
+            continue
+        pairs.add((min(l, r), max(l, r)))
+    return pairs
+
+
+@pytest.fixture(scope="module")
+def clip_ds():
+    table = generate_clip_table(1500, seed=42, with_audio=False)
+    t = pa.table(
+        {
+            "row_idx": pa.array(np.arange(table.num_rows, dtype=np.int64)),
+            "text": table["transcript"],
+        }
+    )
+    return ray.data.from_arrow(t).repartition(4)
+
+
+def test_lsh_recall_vs_exact(clip_ds):
+    cfg_exact = EngineConfig(
+        strategy="exact", min_similarity=0.8, max_n_matches=None, use_actor_pools=False
+    )
+    exact_edges, vocab = match_edges(clip_ds, None, cfg_exact)
+    exact_pairs = _edges_set(exact_edges)
+
+    cfg_lsh = EngineConfig(
+        strategy="lsh", min_similarity=0.8, max_n_matches=None,
+        num_perm=128, lsh_bands=32, use_actor_pools=False,
+    )
+    lsh_edges, _ = match_edges(clip_ds, None, cfg_lsh, vocab=vocab)
+    lsh_pairs = _edges_set(lsh_edges)
+
+    assert exact_pairs, "exact matcher found no duplicate pairs — fixture broken"
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.99, f"LSH recall {recall:.4f} < 0.99 ({len(exact_pairs)} exact pairs)"
+    # verification step guarantees precision: every LSH pair must also pass
+    # the exact threshold
+    assert lsh_pairs <= exact_pairs | lsh_pairs  # trivially true; check sims below
+    lsh_df = lsh_edges.to_pandas()
+    assert (lsh_df["similarity"] >= 0.8 - 1e-12).all()
+
+
+def test_lsh_salted_skew_equivalence():
+    """A hot bucket (many identical transcripts) must produce the same pair
+    set whether or not salting splits it."""
+    texts = ["identical hot transcript corp"] * 60 + [
+        f"unique filler row {i} zzz" for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "row_idx": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    base_cfg = dict(strategy="lsh", min_similarity=0.8, max_n_matches=None, use_actor_pools=False)
+    unsalted, vocab = match_edges(ds, None, EngineConfig(max_bucket_size=1000, **base_cfg))
+    salted, _ = match_edges(ds, None, EngineConfig(max_bucket_size=10, **base_cfg), vocab=vocab)
+    assert _edges_set(unsalted) == _edges_set(salted)
+    # the hot clique is fully present: 60 choose 2 pairs
+    assert len(_edges_set(salted)) >= 60 * 59 // 2
+
+
+def test_lsh_cross_join():
+    master = pd.DataFrame({"row_idx": np.arange(3), "text": ["foooo", "bar", "baz"]})
+    dupes = pd.DataFrame({"row_idx": np.arange(4), "text": ["foooo", "bar", "baz", "foooob"]})
+    mds = ray.data.from_pandas(master)
+    dds = ray.data.from_pandas(dupes)
+    cfg = EngineConfig(strategy="lsh", min_similarity=0.8, use_actor_pools=False,
+                       num_perm=64, lsh_bands=32)
+    edges, _ = match_edges(mds, dds, cfg)
+    df = edges.to_pandas().sort_values(["left_idx", "right_idx"]).reset_index(drop=True)
+    got = set(zip(df["left_idx"], df["right_idx"]))
+    assert (0, 0) in got and (1, 1) in got and (2, 2) in got
