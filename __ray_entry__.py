@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship near-dup clustering pipeline on the sf0.001
+``documents`` table. ``queries()``/``oracle_sql()`` expose one entry per
+implemented operator from SURVEY.md §2 (+ the training-data operators);
+DuckDB-checkable ones carry an oracle, the rest get the rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +14,591 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+# the reference's default normalizer (M1) as a DuckDB expression on ASCII
+# input: lower + delete [,-./]|\s  (NFKD is a no-op on these tables)
+_NORM_SQL = r"regexp_replace(lower({col}), '[,-./\s]', '', 'g')"
+
+# char-3gram tf-idf with sklearn semantics (raw tf, smooth idf, L2 norm) —
+# the numeric core of the engine, expressed in SQL for the oracle
+_TFIDF_CTE = r"""
+WITH docs AS (
+    SELECT {id} AS id, {norm} AS s FROM {table}
+),
+grams AS (
+    SELECT id, substring(s, CAST(u AS INTEGER), 3) AS g
+    FROM (SELECT id, s, unnest(generate_series(1, length(s) - 2)) AS u
+          FROM docs WHERE length(s) >= 3)
+),
+tf AS (SELECT id, g, CAST(count(*) AS DOUBLE) AS tf FROM grams GROUP BY id, g),
+df AS (SELECT g, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM grams GROUP BY g),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+w AS (
+    SELECT tf.id, tf.g, tf.tf * (ln((1 + n.n) / (1 + df.df)) + 1) AS w
+    FROM tf JOIN df ON tf.g = df.g CROSS JOIN n
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+wn AS (SELECT w.id, w.g, w.w / norms.nrm AS w FROM w JOIN norms ON w.id = norms.id),
+sims AS (
+    SELECT a.id AS left_id, b.id AS right_id, sum(a.w * b.w) AS sim
+    FROM wn a JOIN wn b ON a.g = b.g
+    GROUP BY a.id, b.id
+)
+"""
+
+
+def _docs_ds(sf_dir: str, table: str, id_col: str, text_col: str):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[id_col, text_col])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"row_idx": t[id_col].cast(pa.int64()), "text": t[text_col]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _cfg(**kw):
+    from string_grouper_ray.config import EngineConfig
+
+    # sf-scale correctness runs: stateless tasks (no actor-pool spin-up per
+    # stage). The bench/scale paths construct their own configs.
+    kw.setdefault("use_actor_pools", False)
+    return EngineConfig(**kw)
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+
+def _q_match_strings_part(sf_dir: str, strategy: str = "exact"):
+    from string_grouper_ray.pipelines.match import match_edges
+
+    ds = _docs_ds(sf_dir, "part", "p_partkey", "p_name")
+    cfg = _cfg(strategy=strategy, min_similarity=0.8, max_n_matches=None,
+               force_symmetries=False)
+    edges, _ = match_edges(ds, None, cfg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "left_id": t["left_idx"],
+                "right_id": t["right_idx"],
+                "similarity": pc.round(t["similarity"], ndigits=4),
+            }
+        )
+
+    return edges.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_group_part(sf_dir: str):
+    """group_similar_strings semantics on p_name: (id, rep_id)."""
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    ds = _docs_ds(sf_dir, "part", "p_partkey", "p_name")
+    cfg = _cfg(min_similarity=0.8, max_n_matches=None)
+    out = group_assignments(ds, cfg)
+    return out.map_batches(
+        lambda t: pa.table({"id": t["row_idx"], "rep_id": t["group_rep_idx"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_pairwise_part(sf_dir: str):
+    """compute_pairwise_similarities(p_name, p_type) row-aligned."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.pairwise import pairwise_similarities
+
+    raw = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                columns=["p_partkey", "p_name", "p_type"])
+    left = raw.map_batches(
+        lambda t: pa.table({"row_idx": t["p_partkey"].cast(pa.int64()), "text": t["p_name"]}),
+        batch_format="pyarrow",
+    )
+    right = raw.map_batches(
+        lambda t: pa.table({"row_idx": t["p_partkey"].cast(pa.int64()), "text": t["p_type"]}),
+        batch_format="pyarrow",
+    )
+    out = pairwise_similarities(left, right, _cfg())
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"id": t["row_idx"], "similarity": pc.round(t["similarity"], ndigits=4)}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_containment_part(sf_dir: str):
+    from string_grouper_ray.stages.suffixstage import containment_edges
+
+    ds = _docs_ds(sf_dir, "part", "p_partkey", "p_name")
+    out = containment_edges(ds, _cfg(), "text", min_len=6)
+    df = out.to_pandas()
+    # stable schema even when no containment pairs exist
+    return pa.table(
+        {
+            "left_id": pa.array(df.get("left_idx", []), type=pa.int64()),
+            "right_id": pa.array(df.get("right_idx", []), type=pa.int64()),
+        }
+    )
+
+
+def _q_dedup_exact_docs(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds, "doc_id", "text")
+
+
+def _q_dedup_minhash_docs(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds, "doc_id", "text", jaccard_threshold=0.7, config=_cfg())
+
+
+def _q_dedup_simhash_docs(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup(ds, "doc_id", "text", max_hamming=3, config=_cfg())
+
+
+def _q_jaccard_part(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    out = ngram_jaccard_pairs(ds, "p_partkey", "p_name", threshold=0.5)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "left_id": t["left_id"],
+                "right_id": t["right_id"],
+                "jaccard": pc.round(t["jaccard"], ndigits=4),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.ann import knn_brute_force
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = ds.filter(lambda row: row["vec_id"] < 8)
+    out = knn_brute_force(ds, queries, k=10, config=_cfg())
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "cosine": pc.round(t["cosine"], ndigits=4),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.ann import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # the synthetic embeddings have no >0.99 pairs; 0.3 exercises the operator
+    out = embedding_near_dup_pairs(ds, threshold=0.3, config=_cfg())
+    df = out.to_pandas()
+    return pa.table(
+        {
+            "left_id": pa.array(df.get("left_id", []), type=pa.int64()),
+            "right_id": pa.array(df.get("right_id", []), type=pa.int64()),
+        }
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.textstats import token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "n_tokens": t["n_tokens"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_token_counts_bpe(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.textstats import token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = token_counts(ds)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "n_bpe_tokens": t["n_bpe_tokens"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.textstats import quality_scores
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = quality_scores(ds)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_q": t["n_chars_q"],
+                "punct_ratio": pc.round(t["punct_ratio"], ndigits=4),
+                "digit_ratio": pc.round(t["digit_ratio"], ndigits=4),
+                "stopword_ratio": pc.round(t["stopword_ratio"], ndigits=4),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.textstats import lang_id
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = lang_id(ds)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "lang_pred": t["lang_pred"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from string_grouper_ray.pipelines.textstats import fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = fingerprints(ds)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "fingerprint": t["fingerprint"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_regroup_events(sf_dir: str):
+    """group-rep by earliest timestamp (U3) applied to events/user_id."""
+    import ray.data
+
+    from string_grouper_ray.regroup import group_rep_by_weight_ds
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = group_rep_by_weight_ds(
+        ds, group_col="user_id", record_id_col="event_id", weight_col="ts",
+        minimize=True, tie_col="event_id",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"].cast(pa.int64()),
+             "rep_event_id": t["rep_event_id"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_audio_features(sf_dir: str):
+    """Multimodal decode+feature stage over a deterministic synthetic clip
+    table derived from sf_dir's size (no external data; audio plumbing is
+    exercised for real on WAV/PCM16)."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import audio_features
+    from string_grouper_ray.sources.synth import generate_clip_table
+
+    n = 200
+    table = generate_clip_table(n, seed=42)
+    ds = ray.data.from_arrow(table)
+    out = audio_features(ds, _cfg(use_actor_pools=False))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "true_dur_ms": pc.round(t["true_dur_ms"], ndigits=1),
+                "rms": pc.round(t["rms"], ndigits=4),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: near-dup clustering of the sf0.001 documents table."""
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    sf_dir = "/root/testdata/sf0.001"
+    ds = _docs_ds(sf_dir, "documents", "doc_id", "text")
+    cfg = _cfg(strategy="lsh", min_similarity=0.8, max_n_matches=None)
+    out = group_assignments(ds, cfg)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["row_idx"],
+                "group_id": t["group_id"],
+                "group_rep_id": t["group_rep_idx"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "match_strings_part": lambda sf: _q_match_strings_part(sf, "exact"),
+        "match_strings_part_lsh": lambda sf: _q_match_strings_part(sf, "lsh"),
+        "group_part": _q_group_part,
+        "pairwise_part": _q_pairwise_part,
+        "containment_part": _q_containment_part,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_minhash_docs": _q_dedup_minhash_docs,
+        "dedup_simhash_docs": _q_dedup_simhash_docs,
+        "jaccard_part": _q_jaccard_part,
+        "ann_topk": _q_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "token_counts_docs": _q_token_counts,
+        "token_counts_bpe_docs": _q_token_counts_bpe,
+        "quality_docs": _q_quality,
+        "lang_id_docs": _q_lang_id,
+        "fingerprint_docs": _q_fingerprint,
+        "regroup_events": _q_regroup_events,
+        "audio_features": _q_audio_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    part_tfidf = _TFIDF_CTE.format(
+        id="p_partkey", table="part", norm=_NORM_SQL.format(col="p_name")
+    )
+    match_sql = (
+        part_tfidf
+        + """
+SELECT left_id, right_id, round(sim, 4) AS similarity
+FROM sims WHERE sim >= 0.8
+"""
+    )
+    group_sql = (
+        part_tfidf
+        + """
+, edges AS (
+    SELECT left_id, right_id,
+           CASE WHEN left_id = right_id THEN 1.0 ELSE sim END AS sim
+    FROM sims WHERE sim >= 0.8
+),
+reach(id, r) AS (
+    SELECT id, id FROM docs
+    UNION
+    SELECT e.right_id, reach.r FROM reach JOIN edges e ON e.left_id = reach.id
+),
+comp AS (SELECT id, min(r) AS comp_id FROM reach GROUP BY id),
+wts AS (SELECT left_id AS id, sum(sim) AS wt FROM edges GROUP BY left_id),
+members AS (
+    SELECT comp.id, comp.comp_id, coalesce(wts.wt, 0.0) AS wt
+    FROM comp LEFT JOIN wts ON comp.id = wts.id
+),
+reps AS (
+    SELECT comp_id, id AS rep_id
+    FROM members
+    QUALIFY row_number() OVER (PARTITION BY comp_id ORDER BY round(wt, 9) DESC, id) = 1
+)
+SELECT m.id AS id, r.rep_id AS rep_id
+FROM members m JOIN reps r ON m.comp_id = r.comp_id
+"""
+    )
+    # recursive CTEs need the RECURSIVE keyword up front
+    group_sql = group_sql.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1)
+
+    pairwise_sql = r"""
+WITH sides AS (
+    SELECT p_partkey AS id, 0 AS side,
+           regexp_replace(lower(p_name), '[,-./\s]', '', 'g') AS s FROM part
+    UNION ALL
+    SELECT p_partkey AS id, 1 AS side,
+           regexp_replace(lower(p_type), '[,-./\s]', '', 'g') AS s FROM part
+),
+grams AS (
+    SELECT id, side, substring(s, CAST(u AS INTEGER), 3) AS g
+    FROM (SELECT id, side, s, unnest(generate_series(1, length(s) - 2)) AS u
+          FROM sides WHERE length(s) >= 3)
+),
+tf AS (SELECT id, side, g, CAST(count(*) AS DOUBLE) AS tf FROM grams GROUP BY id, side, g),
+df AS (SELECT g, CAST(count(DISTINCT (id, side)) AS DOUBLE) AS df FROM grams GROUP BY g),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sides),
+w AS (
+    SELECT tf.id, tf.side, tf.g, tf.tf * (ln((1 + n.n) / (1 + df.df)) + 1) AS w
+    FROM tf JOIN df ON tf.g = df.g CROSS JOIN n
+),
+norms AS (SELECT id, side, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id, side),
+wn AS (
+    SELECT w.id, w.side, w.g, w.w / norms.nrm AS w
+    FROM w JOIN norms ON w.id = norms.id AND w.side = norms.side
+),
+dots AS (
+    SELECT a.id, sum(a.w * b.w) AS sim
+    FROM wn a JOIN wn b ON a.g = b.g AND a.id = b.id
+    WHERE a.side = 0 AND b.side = 1
+    GROUP BY a.id
+)
+SELECT p.p_partkey AS id, round(coalesce(d.sim, 0.0), 4) AS similarity
+FROM part p LEFT JOIN dots d ON p.p_partkey = d.id
+"""
+
+    containment_sql = r"""
+WITH docs AS (
+    SELECT p_partkey AS id,
+           regexp_replace(lower(p_name), '[,-./\s]', '', 'g') AS s FROM part
+)
+SELECT DISTINCT least(a.id, b.id) AS left_id, greatest(a.id, b.id) AS right_id
+FROM docs a JOIN docs b
+  ON starts_with(b.s, a.s) AND length(b.s) > length(a.s) AND length(a.s) >= 6
+"""
+
+    jaccard_sql = r"""
+WITH grams AS (
+    SELECT DISTINCT id, substring(s, CAST(u AS INTEGER), 3) AS g
+    FROM (SELECT p_partkey AS id, p_name AS s,
+                 unnest(generate_series(1, length(p_name) - 2)) AS u
+          FROM part WHERE length(p_name) >= 3)
+),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+    SELECT a.id AS l, b.id AS r, count(*) AS shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+jac AS (
+    SELECT l, r, CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS j
+    FROM inter JOIN sizes sa ON inter.l = sa.id JOIN sizes sb ON inter.r = sb.id
+)
+SELECT l AS left_id, r AS right_id, round(j, 4) AS jaccard FROM jac WHERE j >= 0.5
+"""
+
+    ann_sql = r"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8)
+SELECT q.query_id, e.vec_id,
+       round(list_cosine_similarity(q.embedding, e.embedding), 4) AS cosine
+FROM q CROSS JOIN embeddings e
+QUALIFY row_number() OVER (
+    PARTITION BY q.query_id
+    ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id
+) <= 10
+"""
+
+    neardup_sql = r"""
+SELECT a.vec_id AS left_id, b.vec_id AS right_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+"""
+
+    en = r"\b(the|and|of|to|in|is|that|for|with|was)\b"
+    de = r"\b(der|die|das|und|ist|nicht|von|mit|den|ein)\b"
+    fr = r"\b(le|la|les|et|est|une|dans|pour|que|des)\b"
+    es = r"\b(el|los|las|es|una|para|por|con|del|se)\b"
+    lang_sql = f"""
+WITH counts AS (
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{en}')) AS c_en,
+           len(regexp_extract_all(lower(text), '{de}')) AS c_de,
+           len(regexp_extract_all(lower(text), '{fr}')) AS c_fr,
+           len(regexp_extract_all(lower(text), '{es}')) AS c_es
+    FROM documents
+)
+SELECT doc_id,
+       CASE
+           WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0 THEN 'und'
+           WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+           WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+           WHEN c_fr >= c_es THEN 'fr'
+           ELSE 'es'
+       END AS lang_pred
+FROM counts
+"""
+
+    quality_sql = f"""
+SELECT doc_id,
+       CAST(length(text) AS DOUBLE) AS n_chars_q,
+       round(len(regexp_extract_all(text, '[^\\w\\s]')) /
+             greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS punct_ratio,
+       round(len(regexp_extract_all(text, '[0-9]')) /
+             greatest(CAST(length(text) AS DOUBLE), 1.0), 4) AS digit_ratio,
+       round(len(regexp_extract_all(lower(text), '{en}')) /
+             greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0), 4)
+           AS stopword_ratio
+FROM documents
+"""
+
+    return {
+        "match_strings_part": match_sql,
+        "match_strings_part_lsh": match_sql,
+        "group_part": group_sql,
+        "pairwise_part": pairwise_sql,
+        "containment_part": containment_sql,
+        "dedup_exact_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "jaccard_part": jaccard_sql,
+        "ann_topk": ann_sql,
+        "embedding_neardup": neardup_sql,
+        "token_counts_docs": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)"
+            " AS n_tokens FROM documents"
+        ),
+        "quality_docs": quality_sql,
+        "lang_id_docs": lang_sql,
+        "fingerprint_docs": (
+            "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+            " AS fingerprint FROM documents"
+        ),
+        "regroup_events": (
+            "SELECT user_id, event_id AS rep_event_id FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1"
+        ),
+        # dedup_minhash_docs / dedup_simhash_docs / token_counts_bpe_docs /
+        # audio_features: model/sketch-based — rows-only check
+    }

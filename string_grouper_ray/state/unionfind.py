@@ -79,6 +79,11 @@ def connected_components(
     Returns a Dataset with columns (row_idx:int64, group_id:int64).
     """
     config = config or EngineConfig()
+    # materialize: the edge list is consumed at least twice (count + labels),
+    # and re-executing the whole candidate/verify DAG would dominate runtime.
+    # Thresholded edges are far smaller than the input table; they spill
+    # gracefully if large.
+    edges = edges.materialize()
     n_edges = edges.count()
     if not force_distributed and n_edges <= config.cc_driver_max_edges:
         return _cc_driver(edges, nodes)
