@@ -71,9 +71,10 @@ def fit_vocabulary(
     for other in datasets[1:]:
         ds = ds.union(other)
     n_docs = ds.count()
+    from .functions.collect import collect_column_lists
     from .functions.stagemap import stage_map_batches
 
-    df_rows = (
+    agg = (
         stage_map_batches(
             ds,
             _PartialDocFreq,
@@ -82,13 +83,11 @@ def fit_vocabulary(
             batch_format="pyarrow",
             batch_size=config.batch_size,
         )
-        .groupby("ngram")
+        .groupby("ngram", num_partitions=32)
         .sum("df")
-        .take_all()
     )
-    ngrams = [r["ngram"] for r in df_rows]
-    dfs = [r["sum(df)"] for r in df_rows]
-    return Vocabulary.from_doc_frequencies(ngrams, dfs, n_docs)
+    cols = collect_column_lists(agg, ["ngram", "sum(df)"])
+    return Vocabulary.from_doc_frequencies(cols["ngram"], cols["sum(df)"], n_docs)
 
 
 def fit_vocabulary_local(

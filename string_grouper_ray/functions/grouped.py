@@ -55,9 +55,33 @@ def bucketed_group_map(
     def run(g: pd.DataFrame) -> pd.DataFrame:
         return bucket_fn(g.drop(columns=[_BUCKET]))
 
-    return ds.map_batches(tag, batch_format="pyarrow").groupby(_BUCKET).map_groups(
-        run, batch_format="pandas"
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(_BUCKET, num_partitions=num_buckets)
+        .map_groups(run, batch_format="pandas")
     )
+
+
+def dedup_pairs(
+    ds: "ray.data.Dataset",
+    keys: List[str],
+    agg_col: Optional[str] = None,
+    agg: str = "max",
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Distinct rows per key tuple (optionally keeping the max/min of one
+    value column). One bucketed shuffle + vectorized pandas dedup — Ray's
+    native multi-key groupby aggregate is avoided (it degrades sharply with
+    row count in this version)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if agg_col is None:
+            return df.drop_duplicates(subset=keys)
+        df = df.sort_values(keys + [agg_col], ascending=[True] * len(keys) + [agg != "max"],
+                            kind="stable")
+        return df.groupby(keys, sort=False).head(1)
+
+    return bucketed_group_map(ds, keys, fn, num_buckets)
 
 
 def per_group_topk(

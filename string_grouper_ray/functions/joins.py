@@ -110,6 +110,14 @@ def shuffle_join(
     right_on = right_on or on
     left_schema = left_schema or left.schema()
     right_schema = right_schema or right.schema()
+    overlap = (set(left_schema.names) & set(right_schema.names)) - (
+        {on} if on == right_on else set()
+    )
+    if overlap:
+        raise ValueError(
+            f"shuffle_join: column name collision {sorted(overlap)} — rename "
+            "non-key columns before joining"
+        )
     left_cols = list(left_schema.names)
     right_cols = list(right_schema.names)
     all_fields = {}
@@ -155,4 +163,6 @@ def shuffle_join(
                 merged[c] = merged[c].astype("Int64")
         return merged[[c for c in out_cols if c in merged.columns]]
 
-    return tagged.groupby(_BUCKET_COL).map_groups(merge_bucket, batch_format="pandas")
+    return tagged.groupby(_BUCKET_COL, num_partitions=num_buckets).map_groups(
+        merge_bucket, batch_format="pandas"
+    )

@@ -40,12 +40,22 @@ from .match import match_edges
 
 def add_row_idx(ds: "ray.data.Dataset", count: Optional[int] = None) -> "ray.data.Dataset":
     """Assign a dense, deterministic row_idx by zipping with a range dataset
-    (dataset order is deterministic for a deterministic file listing)."""
+    (dataset order is deterministic for a deterministic file listing).
+
+    The zip fragments blocks (range() defaults to many tiny blocks and zip
+    aligns to them); repartition to a CPU-sized block count afterwards so
+    downstream sorts/groupbys don't pay per-block overhead ×170.
+    """
     n = count if count is not None else ds.count()
     idx = ray.data.range(n).map_batches(
         lambda t: t.rename_columns(["row_idx"]), batch_format="pyarrow"
     )
-    return ds.zip(idx)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    blocks = max(cpus, min(256, n // 50_000 + cpus))
+    return ds.zip(idx).repartition(blocks)
 
 
 def dedup_clip_table(
@@ -80,14 +90,10 @@ def dedup_clip_table(
             cont = containment_edges(
                 narrow.select_columns(["row_idx", "text"]), config, "text"
             )
-            edges = (
-                edges.union(cont)
-                .groupby(["left_idx", "right_idx"])
-                .max("similarity")
-                .map_batches(
-                    lambda t: t.rename_columns(["left_idx", "right_idx", "similarity"]),
-                    batch_format="pyarrow",
-                )
+            from ..functions.grouped import dedup_pairs
+
+            edges = dedup_pairs(
+                edges.union(cont), ["left_idx", "right_idx"], agg_col="similarity"
             )
         return edges
 
@@ -100,14 +106,17 @@ def dedup_clip_table(
 
     groups = ckpt.stage("groups", compute_groups)
 
-    # map row_idx-based assignment back to clip ids
-    idx_to_id = narrow.select_columns(["row_idx", "clip_id"])
+    # map row_idx-based assignment back to clip ids (right key renamed:
+    # shuffle_join requires non-key column names to be disjoint)
+    idx_to_id = narrow.select_columns(["row_idx", "clip_id"]).map_batches(
+        lambda t: t.rename_columns(["rep_row", "clip_id"]), batch_format="pyarrow"
+    )
     assign = shuffle_join(
-        groups, idx_to_id, on="group_rep_idx", right_on="row_idx", how="inner",
+        groups, idx_to_id, on="group_rep_idx", right_on="rep_row", how="inner",
         left_schema=pa.schema(
             [("row_idx", pa.int64()), ("group_id", pa.int64()), ("group_rep_idx", pa.int64())]
         ),
-        right_schema=pa.schema([("row_idx", pa.int64()), ("clip_id", pa.string())]),
+        right_schema=pa.schema([("rep_row", pa.int64()), ("clip_id", pa.string())]),
     ).map_batches(
         lambda t: pa.table(
             {

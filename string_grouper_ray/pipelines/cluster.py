@@ -49,14 +49,17 @@ def group_assignments(
     config = config or EngineConfig()
     if edges is None:
         edges, vocab = match_edges(ds, None, config, vocab, text_col)
-    edges = edges.materialize()  # consumed twice (CC + centroid weights)
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(edges, MaterializedDataset):
+        edges = edges.materialize()  # consumed twice (CC + centroid weights)
     labels = connected_components(edges, ds, config).materialize()
 
     if config.group_rep == GROUP_REP_CENTROID:
         # weighted degree per node: sum of similarities over its edges,
         # including the forced diagonal (string_grouper.py:875-881)
         weights = (
-            edges.groupby("left_idx")
+            edges.groupby("left_idx", num_partitions=32)
             .sum("similarity")
             .map_batches(
                 lambda t: t.rename_columns(["row_idx", "weight"]),

@@ -132,7 +132,7 @@ def minhash_dedup(
     """
     config = config or EngineConfig()
     from ..functions.joins import shuffle_join
-    from ..stages.lsh import _SaltHotBuckets, _emit_pairs
+    from ..stages.lsh import _SaltHotBuckets
 
     base = ds.map_batches(
         lambda t: pa.table({"row_idx": t[id_col].cast(pa.int64()), "text": t[text_col]}),
@@ -161,23 +161,13 @@ def minhash_dedup(
         banded, _SaltHotBuckets, (ray.put(hot), config.max_bucket_size), config,
         batch_format="pyarrow", batch_size=config.batch_size,
     )
-    from ..functions.grouped import bucketed_group_map
+    from ..functions.grouped import bucketed_group_map, dedup_pairs
+    from ..stages.lsh import emit_pairs_bucket
 
-    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _emit_pairs(g, False)
-            for _, g in df.groupby(["band_key", "salt"], sort=False)
-        ]
-        if not outs:
-            return pd.DataFrame(
-                {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
-            )
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
-
-    pairs = bucketed_group_map(salted, ["band_key", "salt"], emit_bucket)
-    pairs = (
-        pairs.groupby(["left_idx", "right_idx"]).count().select_columns(["left_idx", "right_idx"])
+    pairs = bucketed_group_map(
+        salted, ["band_key", "salt"], lambda df: emit_pairs_bucket(df, False)
     )
+    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
 
     lsh_l = stage_map_batches(base, _ShingleColumn, (config, "text", "l"), config,
                               batch_format="pyarrow", batch_size=config.batch_size)
@@ -285,10 +275,10 @@ def simhash_dedup(
                                  "right_idx": np.empty(0, np.int64)})
         return pd.concat(outs, ignore_index=True).drop_duplicates()
 
+    from ..functions.grouped import dedup_pairs
+
     pairs = bucketed_group_map(banded, ["band", "band_val"], simhash_bucket)
-    pairs = (
-        pairs.groupby(["left_idx", "right_idx"]).count().select_columns(["left_idx", "right_idx"])
-    )
+    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
     edges = pairs.map_batches(
         lambda t: t.append_column("similarity", pa.array(np.ones(len(t), dtype=np.float64))),
         batch_format="pyarrow",
@@ -360,7 +350,11 @@ def ngram_jaccard_pairs(
         return pd.concat(outs, ignore_index=True)
 
     shared = bucketed_group_map(grams, ["gram"], gram_bucket)
-    shared_counts = shared.groupby(["left_idx", "right_idx"]).count()
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["left_idx", "right_idx"], sort=False).size().reset_index(name="count()")
+        return out
+
+    shared_counts = bucketed_group_map(shared, ["left_idx", "right_idx"], count_pairs)
 
     class _Jaccard:
         def __init__(self, sizes_ref, threshold):

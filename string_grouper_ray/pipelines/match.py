@@ -204,12 +204,10 @@ def symmetrize_edges(
     off = edges.map_batches(drop_diag, batch_format="pyarrow").materialize()
     mirrored = off.map_batches(swap, batch_format="pyarrow")
     diagonal = nodes.select_columns(["row_idx"]).map_batches(diag, batch_format="pyarrow")
+    from ..functions.grouped import dedup_pairs
+
     unioned = off.union(mirrored, diagonal)
-    out = unioned.groupby(["left_idx", "right_idx"]).max("similarity")
-    return out.map_batches(
-        lambda t: t.rename_columns(["left_idx", "right_idx", "similarity"]),
-        batch_format="pyarrow",
-    )
+    return dedup_pairs(unioned, ["left_idx", "right_idx"], agg_col="similarity")
 
 
 def match_edges(

@@ -113,6 +113,90 @@ class _SaltHotBuckets:
         )
 
 
+def _segment_pairs(offsets: np.ndarray, sizes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """All (i < j) index pairs within each segment, fully vectorized.
+
+    For a segment at offset o with size k, emits (o+a, o+b) for all
+    0 <= a < b < k. Construction: every element e (local index a) gets
+    (k-1-a) partners, namely the elements right after it.
+    """
+    if len(sizes) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    n_total = int(sizes.sum())
+    elem_global = np.arange(n_total, dtype=np.int64)
+    seg_of_elem = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+    local = elem_global - np.repeat(offsets, sizes)
+    partners = (sizes[seg_of_elem] - 1 - local).astype(np.int64)
+    total = int(partners.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    left = np.repeat(elem_global, partners)
+    csum = np.cumsum(partners) - partners
+    within = np.arange(total, dtype=np.int64) - np.repeat(csum, partners)
+    right = left + 1 + within
+    return left, right
+
+
+def emit_pairs_bucket(df: pd.DataFrame, cross: bool) -> pd.DataFrame:
+    """Vectorized pair emission for a whole shuffle bucket (all its
+    (band_key, salt) groups at once — no per-group pandas dispatch).
+
+    Unsalted groups go through the fully-vectorized segment-pair kernel;
+    salted sub-buckets (few — only hot bands) use the per-group path that
+    understands chunk-pair semantics.
+    """
+    keys = df["band_key"].to_numpy(dtype=np.int64)
+    salts = df["salt"].to_numpy(dtype=np.int64)
+    rows = df["row_idx"].to_numpy(dtype=np.int64)
+    sides = df["side"].to_numpy()
+    order = np.lexsort((rows, salts, keys))
+    keys, salts, rows, sides = keys[order], salts[order], rows[order], sides[order]
+
+    outs = []
+    plain = salts == 0
+    if plain.any():
+        pk, pr, ps = keys[plain], rows[plain], sides[plain]
+        boundaries = np.flatnonzero(np.diff(pk)) + 1
+        offsets = np.concatenate([[0], boundaries]).astype(np.int64)
+        sizes = np.diff(np.concatenate([offsets, [len(pk)]])).astype(np.int64)
+        li, ri = _segment_pairs(offsets, sizes)
+        a, b = pr[li], pr[ri]
+        sa, sb = ps[li], ps[ri]
+        if cross:
+            keep = sa != sb
+            a2 = np.where(sa == 0, a, b)
+            b2 = np.where(sa == 0, b, a)
+            a, b = a2[keep], b2[keep]
+        else:
+            keep = a != b
+            a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        outs.append(pd.DataFrame({"left_idx": a, "right_idx": b}))
+
+    salted = ~plain
+    if salted.any():
+        sdf = pd.DataFrame(
+            {
+                "band_key": keys[salted],
+                "salt": salts[salted],
+                "row_idx": rows[salted],
+                "side": sides[salted],
+                "chunk": df["chunk"].to_numpy()[order][salted],
+                "diag_sub": df["diag_sub"].to_numpy()[order][salted],
+            }
+        )
+        outs.extend(
+            _emit_pairs(g, cross) for _, g in sdf.groupby(["band_key", "salt"], sort=False)
+        )
+
+    if not outs:
+        return pd.DataFrame(
+            {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
+        )
+    return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+
 def _emit_pairs(g: pd.DataFrame, cross: bool) -> pd.DataFrame:
     """All candidate pairs within one (possibly salted) bucket."""
     salt = int(g["salt"].iloc[0])
@@ -253,27 +337,14 @@ def lsh_match_edges(
     )
 
     # 3-4. pair emission per salted bucket (bucketed grouped-map: one task
-    # per hash bucket, a tight numpy loop over the groups inside), then
+    # per hash bucket, fully-vectorized segment-pair kernel inside), then
     # global pair dedup
-    from ..functions.grouped import bucketed_group_map
+    from ..functions.grouped import bucketed_group_map, dedup_pairs
 
-    def emit_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _emit_pairs(g, cross)
-            for _, g in df.groupby(["band_key", "salt"], sort=False)
-        ]
-        if not outs:
-            return pd.DataFrame(
-                {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
-            )
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
-
-    pairs = bucketed_group_map(salted, ["band_key", "salt"], emit_bucket)
-    pairs = (
-        pairs.groupby(["left_idx", "right_idx"])
-        .count()
-        .select_columns(["left_idx", "right_idx"])
+    pairs = bucketed_group_map(
+        salted, ["band_key", "salt"], lambda df: emit_pairs_bucket(df, cross)
     )
+    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
 
     # 5. verify: join both endpoints' tf-idf vectors, exact cosine
     lvec = stage_map_batches(

@@ -118,13 +118,16 @@ def containment_edges(
         tail = t.slice(n - strip_width, strip_width)
         return pa.concat_tables([head, tail])
 
-    strips = sorted_ds.map_batches(strip, batch_format="pyarrow", batch_size=None).take_all()
-    if strips:
-        strips_sorted = sorted(strips, key=lambda r: r["norm"])
+    from ..functions.collect import collect_column_lists
+
+    strip_cols = collect_column_lists(
+        sorted_ds.map_batches(strip, batch_format="pyarrow", batch_size=None),
+        ["row_idx", "norm"],
+    )
+    if strip_cols["norm"]:
+        pairs_sorted = sorted(zip(strip_cols["norm"], strip_cols["row_idx"]))
         strip_df = _prefix_scan(
-            [r["norm"] for r in strips_sorted],
-            [r["row_idx"] for r in strips_sorted],
-            min_len,
+            [p[0] for p in pairs_sorted], [p[1] for p in pairs_sorted], min_len
         )
     else:
         strip_df = pd.DataFrame(
@@ -134,11 +137,6 @@ def containment_edges(
 
     out = in_block.union(boundary)
     # dedup (strip edges overlap in-block edges)
-    return (
-        out.groupby(["left_idx", "right_idx"])
-        .max("similarity")
-        .map_batches(
-            lambda t: t.rename_columns(["left_idx", "right_idx", "similarity"]),
-            batch_format="pyarrow",
-        )
-    )
+    from ..functions.grouped import dedup_pairs
+
+    return dedup_pairs(out, ["left_idx", "right_idx"], agg_col="similarity")

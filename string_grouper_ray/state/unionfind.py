@@ -82,8 +82,12 @@ def connected_components(
     # materialize: the edge list is consumed at least twice (count + labels),
     # and re-executing the whole candidate/verify DAG would dominate runtime.
     # Thresholded edges are far smaller than the input table; they spill
-    # gracefully if large.
-    edges = edges.materialize()
+    # gracefully if large. (Skip if the caller already materialized — a
+    # second materialize copies every block again.)
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(edges, MaterializedDataset):
+        edges = edges.materialize()
     n_edges = edges.count()
     if not force_distributed and n_edges <= config.cc_driver_max_edges:
         return _cc_driver(edges, nodes)
@@ -91,11 +95,12 @@ def connected_components(
 
 
 def _cc_driver(edges: "ray.data.Dataset", nodes: "ray.data.Dataset") -> "ray.data.Dataset":
-    pairs = edges.select_columns(["left_idx", "right_idx"]).take_all()
-    l = np.fromiter((p["left_idx"] for p in pairs), dtype=np.int64, count=len(pairs))
-    r = np.fromiter((p["right_idx"] for p in pairs), dtype=np.int64, count=len(pairs))
-    node_rows = nodes.select_columns(["row_idx"]).take_all()
-    node_ids = np.fromiter((p["row_idx"] for p in node_rows), dtype=np.int64, count=len(node_rows))
+    from ..functions.collect import collect_columns
+
+    pairs = collect_columns(edges, ["left_idx", "right_idx"])
+    l = pairs["left_idx"].astype(np.int64)
+    r = pairs["right_idx"].astype(np.int64)
+    node_ids = collect_columns(nodes, ["row_idx"])["row_idx"].astype(np.int64)
     labels = _driver_union_find(l, r, node_ids)
     return ray.data.from_arrow(
         pa.table({"row_idx": pa.array(node_ids), "group_id": pa.array(labels)})
