@@ -24,6 +24,10 @@ _BUCKET = "__sgr_gbucket"
 
 
 def _bucket_of(t: pa.Table, keys: List[str], num_buckets: int) -> pa.Array:
+    # deterministic hashing only: Python's str hash is per-process randomized
+    # and tasks run in different workers (same caveat as joins._key_bucket)
+    from ..text import _fnv1a_64
+
     h = np.zeros(len(t), dtype=np.uint64)
     for k in keys:
         vals = t[k].to_numpy(zero_copy_only=False)
@@ -31,9 +35,7 @@ def _bucket_of(t: pa.Table, keys: List[str], num_buckets: int) -> pa.Array:
             hv = vals.astype(np.uint64, copy=False)
         else:
             hv = np.fromiter(
-                (hash(v) & 0xFFFFFFFFFFFFFFFF for v in vals),
-                dtype=np.uint64,
-                count=len(vals),
+                (_fnv1a_64(str(v)) for v in vals), dtype=np.uint64, count=len(vals)
             )
         with np.errstate(over="ignore"):
             h = (h ^ hv) * np.uint64(0x9E3779B97F4A7C15)

@@ -32,12 +32,21 @@ _BUCKET_COL = "__sgr_bucket"
 
 
 def _key_bucket(col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
+    """Deterministic bucket id per key value.
+
+    NEVER Python's builtin ``hash`` — string hashing is randomized per
+    process, and map tasks run in different workers, so the same key would
+    land in different buckets on the two sides of the join.
+    """
+    from ..text import _fnv1a_64
+
     vals = col.to_numpy(zero_copy_only=False)
     if vals.dtype.kind in "iu":
-        h = vals.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            h = vals.astype(np.uint64, copy=False) * np.uint64(0x9E3779B97F4A7C15)
     else:
         h = np.fromiter(
-            (hash(v) & 0xFFFFFFFFFFFFFFFF for v in vals), dtype=np.uint64, count=len(vals)
+            (_fnv1a_64(str(v)) for v in vals), dtype=np.uint64, count=len(vals)
         )
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 

@@ -1,0 +1,221 @@
+"""Tests for the training-data operators: dedup family, ANN, text stats,
+containment, checkpoint/resume, distributed CC equivalence."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data
+
+from string_grouper_ray.config import EngineConfig
+
+CFG = EngineConfig(use_actor_pools=False)
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts, type=pa.string())})
+    )
+
+
+def test_exact_dedup():
+    from string_grouper_ray.pipelines.dedup import exact_dedup
+
+    ds = _docs(["a", "b", "a", "c", "b", "a"])
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(out["text"], out["doc_id"])) == {"a": 0, "b": 1, "c": 3}
+
+
+def test_minhash_dedup_clusters_near_dups():
+    from string_grouper_ray.pipelines.dedup import minhash_dedup
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog again and again"] * 3
+        + ["a completely different document about quantum computing hardware"] * 2
+        + ["yet another unrelated text on medieval history of europe"]
+    )
+    out = minhash_dedup(_docs(texts), jaccard_threshold=0.7, config=CFG).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["cluster_id"].tolist() == [0, 0, 0, 3, 3, 5]
+    assert out["keep"].tolist() == [True, False, False, True, False, True]
+
+
+def test_simhash_dedup():
+    from string_grouper_ray.pipelines.dedup import simhash_dedup
+
+    texts = ["identical text block one two three four five six"] * 3 + [
+        "something else entirely different here with other words"
+    ]
+    out = simhash_dedup(_docs(texts), config=CFG).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].tolist() == [0, 0, 0, 3]
+
+
+def test_ngram_jaccard_pairs():
+    from string_grouper_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    ds = _docs(["abcdefgh", "abcdefgh", "abcdxyzw", "zzzzzzzz"])
+    out = ngram_jaccard_pairs(ds, threshold=0.9).to_pandas()
+    got = set(zip(out["left_id"], out["right_id"]))
+    assert (0, 1) in got
+    assert (0, 3) not in got and (1, 3) not in got
+
+
+def test_knn_brute_force_and_lsh_recall():
+    from string_grouper_ray.pipelines.ann import knn_brute_force, knn_lsh
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(200, 16))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in base], type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    queries = ds.filter(lambda r: r["vec_id"] < 5)
+    exact = knn_brute_force(ds, queries, k=10, config=CFG).to_pandas()
+    assert set(exact.groupby("query_id").size()) == {10}
+    # self is always the top hit
+    tops = exact.sort_values(["query_id", "cosine"], ascending=[True, False]).groupby("query_id").head(1)
+    assert (tops["query_id"].to_numpy() == tops["vec_id"].to_numpy()).all()
+
+    approx = knn_lsh(ds, queries, k=10, n_tables=16, n_bits=4, config=CFG).to_pandas()
+    # recall of approx vs exact
+    ex = set(zip(exact["query_id"], exact["vec_id"]))
+    ap = set(zip(approx["query_id"], approx["vec_id"]))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall  # bucketed candidates, loose floor
+
+
+def test_embedding_near_dup():
+    from string_grouper_ray.pipelines.ann import embedding_near_dup_pairs
+
+    v = np.eye(4)
+    vecs = np.vstack([v[0], v[0] * 0.999 + v[1] * 0.001, v[2]])
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+            "embedding": pa.array([x.tolist() for x in vecs], type=pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_near_dup_pairs(ray.data.from_arrow(table), threshold=0.99, config=CFG).to_pandas()
+    assert set(zip(out["left_id"], out["right_id"])) == {(0, 1)}
+
+
+def test_textstats_columns():
+    from string_grouper_ray.pipelines.textstats import (
+        fingerprints,
+        lang_id,
+        quality_scores,
+        token_counts,
+    )
+
+    ds = _docs(["the cat and the dog, in a house!", "der hund und die katze ist von"])
+    tc = token_counts(ds, config=CFG).to_pandas().sort_values("doc_id")
+    assert tc["n_tokens"].tolist() == [8, 7]
+    assert (tc["n_bpe_tokens"] > 0).all()
+    q = quality_scores(ds, config=CFG).to_pandas().sort_values("doc_id")
+    assert (q["punct_ratio"] > 0).iloc[0]
+    l = lang_id(ds, config=CFG).to_pandas().sort_values("doc_id")
+    assert l["lang_pred"].tolist() == ["en", "de"]
+    f = fingerprints(ds, config=CFG).to_pandas()
+    assert f["fingerprint"].str.len().eq(32).all()
+
+
+def test_containment_edges():
+    from string_grouper_ray.stages.suffixstage import containment_edges
+
+    texts = [
+        "mega enterprises corporation of the north",
+        "mega enterprises corporation",  # prefix of the first (normalized)
+        "totally unrelated string here",
+        "mega ent",  # short prefix, still >= min_len after normalization
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "row_idx": pa.array(np.arange(4, dtype=np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    out = containment_edges(ds, CFG, "text", min_len=6).to_pandas()
+    got = set(zip(out["left_idx"].astype(int), out["right_idx"].astype(int)))
+    assert (0, 1) in got
+    assert (0, 3) in got and (1, 3) in got
+    assert not any(2 in p for p in got)
+
+
+def test_distributed_cc_matches_driver():
+    from string_grouper_ray.state.unionfind import connected_components
+
+    rng = np.random.RandomState(3)
+    n = 200
+    # chain clusters of size 4
+    edges = []
+    for start in range(0, n, 4):
+        for j in range(3):
+            edges.append((start + j, start + j + 1))
+    edf = pd.DataFrame(edges, columns=["left_idx", "right_idx"])
+    nodes = ray.data.from_pandas(pd.DataFrame({"row_idx": np.arange(n, dtype=np.int64)}))
+    eds = ray.data.from_pandas(edf)
+    drv = connected_components(eds, nodes, CFG).to_pandas().sort_values("row_idx")
+    dist = (
+        connected_components(eds, nodes, CFG, force_distributed=True)
+        .to_pandas()
+        .sort_values("row_idx")
+    )
+    assert drv["group_id"].tolist() == dist["group_id"].tolist()
+    assert drv["group_id"].tolist() == [4 * (i // 4) for i in range(n)]
+
+
+def test_checkpoint_resume(tmp_path):
+    from string_grouper_ray.state.checkpoint import CheckpointManager
+
+    calls = {"n": 0}
+
+    def producer():
+        calls["n"] += 1
+        return ray.data.from_pandas(pd.DataFrame({"x": [1, 2, 3]}))
+
+    ckpt = CheckpointManager(str(tmp_path), EngineConfig())
+    out1 = ckpt.stage("s1", producer)
+    assert out1.count() == 3 and calls["n"] == 1
+    # resume: producer must NOT run again
+    ckpt2 = CheckpointManager(str(tmp_path), EngineConfig())
+    out2 = ckpt2.stage("s1", producer)
+    assert out2.count() == 3 and calls["n"] == 1
+    # config change invalidates
+    ckpt3 = CheckpointManager(str(tmp_path), EngineConfig(min_similarity=0.5))
+    out3 = ckpt3.stage("s1", producer)
+    assert out3.count() == 3 and calls["n"] == 2
+    # lineage log exists
+    assert os.path.exists(os.path.join(str(tmp_path), "lineage.jsonl"))
+
+
+def test_clipdedup_end_to_end(tmp_path):
+    from string_grouper_ray.pipelines.clipdedup import dedup_clip_table
+    from string_grouper_ray.sources.synth import write_clip_table
+
+    clip_dir = write_clip_table(400, str(tmp_path / "clips"), seed=11, with_audio=True)
+    cfg = EngineConfig(
+        strategy="lsh", min_similarity=0.8, max_n_matches=None,
+        use_actor_pools=False, checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    out = dedup_clip_table(clip_dir, config=cfg, hydrate_payload=True)
+    df = out.to_pandas()
+    assert len(df) == 400
+    assert {"clip_id", "bytes", "transcript", "group_id", "group_rep_id"} <= set(df.columns)
+    assert df["group_id"].notna().all()
+    # groups are nontrivial: true dup clusters exist in the generator
+    assert df.groupby("group_id").size().max() > 1
+    # resume path: re-run with same config hits the checkpoints
+    out2 = dedup_clip_table(clip_dir, config=cfg, hydrate_payload=False)
+    assert out2.count() == 400
