@@ -61,7 +61,7 @@ def run_headline() -> dict:
     cfg = EngineConfig(
         strategy="lsh",
         min_similarity=0.8,
-        max_n_matches=None,
+        max_n_matches=20,  # reference default: caps edge volume in mega-clusters
         use_actor_pools=True,
         concurrency=max(2, NUM_CPUS - 2),
         batch_size=2048,

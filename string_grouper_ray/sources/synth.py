@@ -97,7 +97,7 @@ def generate_clip_table(
     n_hot = max(1, int(n * hot_cluster_fraction / 50)) if n >= 1000 else 0
     while rows_made < n:
         if gid < n_hot:
-            size = max(50, int(n * hot_cluster_fraction))
+            size = max(50, min(600, int(n * hot_cluster_fraction)))
         else:
             size = 1 + min(int(rng.zipf(2.0)), 12)
         size = min(size, n - rows_made)
