@@ -499,6 +499,7 @@ WITH docs AS (
 SELECT DISTINCT least(a.id, b.id) AS left_id, greatest(a.id, b.id) AS right_id
 FROM docs a JOIN docs b
   ON starts_with(b.s, a.s) AND length(b.s) > length(a.s) AND length(a.s) >= 6
+ AND length(a.s) >= 0.6 * length(b.s)
 """
 
     jaccard_sql = r"""

@@ -62,6 +62,7 @@ def run_headline() -> dict:
         strategy="lsh",
         min_similarity=0.8,
         max_n_matches=20,  # reference default: caps edge volume in mega-clusters
+        exact_dup_shortcircuit=True,
         use_actor_pools=True,
         concurrency=max(2, NUM_CPUS - 2),
         batch_size=2048,

@@ -90,6 +90,18 @@ class EngineConfig:
     cc_driver_max_edges: int = 5_000_000
     # guard for zero-similarity completion (reference O(n*m) cartesian)
     max_zero_pairs: int = 10_000_000
+    # self-join LSH only: collapse exact duplicates (identical normalized
+    # text) to one representative before banding; members attach to their
+    # rep with similarity 1.0. Preserves cluster assignments exactly while
+    # removing the k² blowup of mega-groups of identical rows. Changes
+    # match_strings' edge list shape (star instead of clique within exact-dup
+    # groups), so it is OFF by default and enabled by the dedup pipelines.
+    exact_dup_shortcircuit: bool = False
+    # LSH verify: when the vectorized side fits comfortably in the object
+    # store (≤ this many rows), broadcast the packed vectors once and verify
+    # candidate pairs in a single map stage (no join shuffles). Above it,
+    # fall back to the two bucketed shuffle_joins (the any-scale path).
+    verify_broadcast_max_rows: int = 2_000_000
     # checkpointing (state/checkpoint.py); None disables
     checkpoint_dir: Optional[str] = None
     # actor-pool sizing for stateful stages; None → let Ray pick

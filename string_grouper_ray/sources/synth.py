@@ -36,7 +36,12 @@ _WORDS = (
     "digital quantum stellar apex summit pioneer vertex nova prime alpha "
     "enterprises startup corporation incorporated holdings industries systems "
     "solutions technologies logistics dynamics ventures partners group labs "
-    "works media networks services"
+    "works media networks services "
+    # a wide tail of distinct tokens so independent clusters rarely collide
+    # (with a small vocabulary, distinct base transcripts birthday-collide and
+    # the corpus develops accidental cross-cluster near-dups that swamp the
+    # candidate stage with real-but-unintended matches)
+    + " ".join(f"{a}{b}{c}" for a in "brastelkomvendur" for b in "aeiou" for c in "xrmntlks")
 ).split()
 
 _SUFFIXES = ["Inc.", "Corp.", "Corporation", "Incorporated", "LLC", "Ltd.", "Co."]
@@ -45,7 +50,7 @@ _ACCENTS = str.maketrans({"a": "à", "e": "é", "i": "î", "o": "ô", "u": "ü",
 
 
 def _base_transcript(rng: np.random.RandomState) -> str:
-    k = rng.randint(2, 5)
+    k = rng.randint(3, 6)
     words = [str(_WORDS[i]) for i in rng.randint(0, len(_WORDS), size=k)]
     name = " ".join(w.capitalize() for w in words)
     return f"{name} {_SUFFIXES[rng.randint(0, len(_SUFFIXES))]}"

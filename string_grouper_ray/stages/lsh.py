@@ -259,6 +259,44 @@ def _pack_side(t: pa.Table, idx_name: str, vec_name: str) -> pa.Table:
     )
 
 
+class _VerifyCosineBroadcast:
+    """Exact cosine verify with broadcast vector lookup: the packed-vector
+    dict is fetched once per actor; each pair batch is verified in place."""
+
+    def __init__(self, maps_ref, threshold: float):
+        vec_map, rvec_map = ray.get(maps_ref) if isinstance(maps_ref, ray.ObjectRef) else maps_ref
+        self.l_map = vec_map
+        self.r_map = rvec_map if rvec_map is not None else vec_map
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.packing import unpack_vector
+
+        l_rows = t["left_idx"].to_numpy(zero_copy_only=False)
+        r_rows = t["right_idx"].to_numpy(zero_copy_only=False)
+        sims = np.empty(len(t), dtype=np.float64)
+        l_map, r_map = self.l_map, self.r_map
+        for i in range(len(t)):
+            ia, va = unpack_vector(l_map[int(l_rows[i])])
+            ib, vb = unpack_vector(r_map[int(r_rows[i])])
+            if len(ia) == 0 or len(ib) == 0:
+                sims[i] = 0.0
+                continue
+            pos = np.searchsorted(ib, ia)
+            ok = pos < len(ib)
+            hit = np.zeros(len(ia), dtype=bool)
+            hit[ok] = ib[pos[ok]] == ia[ok]
+            sims[i] = float(np.dot(va[hit], vb[pos[hit]]))
+        keep = sims >= max(self.threshold, 1e-300)
+        return pa.table(
+            {
+                "left_idx": pa.array(l_rows[keep].astype(np.int64)),
+                "right_idx": pa.array(r_rows[keep].astype(np.int64)),
+                "similarity": pa.array(sims[keep]),
+            }
+        )
+
+
 class _VerifyCosine:
     """Vectorized exact cosine over candidate pairs carrying both vectors
     (binary-packed by :func:`_pack_side` so the join transport is robust)."""
@@ -295,6 +333,68 @@ class _VerifyCosine:
         return out[out["similarity"] >= max(self.threshold, 1e-300)]
 
 
+class _NormHash:
+    """(row_idx, text) → (row_idx, nhash) where nhash is the FNV-64 of the
+    normalized transcript (the exact-dup identity)."""
+
+    def __init__(self, config: EngineConfig, text_col: str):
+        from ..text import NGramTokenizer, fnv1a_64_batch
+
+        self.tokenizer = NGramTokenizer(config)
+        self.text_col = text_col
+        self._hash = fnv1a_64_batch
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        norms = [self.tokenizer.normalize(s) for s in t[self.text_col].to_pylist()]
+        h = self._hash(norms).astype(np.int64)
+        return pa.table({"row_idx": t["row_idx"], "nhash": pa.array(h)})
+
+
+def _exact_dup_collapse(
+    left: "ray.data.Dataset", config: EngineConfig, text_col: str
+):
+    """Group identical normalized transcripts; return (rep_map, exact_edges).
+
+    rep_map: (row_idx, rep_idx) for EVERY row (reps map to themselves);
+    exact_edges: (left_idx=rep, right_idx=member, similarity=1.0).
+    """
+    from ..functions.grouped import bucketed_group_map
+    from ..functions.stagemap import stage_map_batches
+
+    hashed = stage_map_batches(
+        left.select_columns(["row_idx", text_col]), _NormHash, (config, text_col),
+        config, batch_format="pyarrow", batch_size=config.batch_size,
+    )
+
+    def rep_of(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["nhash", "row_idx"], kind="stable")
+        rep = df.groupby("nhash", sort=False)["row_idx"].transform("first")
+        return pd.DataFrame(
+            {
+                "row_idx": df["row_idx"].to_numpy(dtype=np.int64),
+                "rep_idx": rep.to_numpy(dtype=np.int64),
+            }
+        )
+
+    rep_map = bucketed_group_map(hashed, ["nhash"], rep_of).materialize()
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(t["row_idx"], t["rep_idx"])
+        sub = t.filter(mask)
+        return pa.table(
+            {
+                "left_idx": sub["rep_idx"],
+                "right_idx": sub["row_idx"],
+                "similarity": pa.array(np.ones(len(sub), dtype=np.float64)),
+            }
+        )
+
+    exact_edges = rep_map.map_batches(to_edges, batch_format="pyarrow")
+    return rep_map, exact_edges
+
+
 def lsh_match_edges(
     left: "ray.data.Dataset",
     right: Optional["ray.data.Dataset"],
@@ -304,6 +404,27 @@ def lsh_match_edges(
 ) -> "ray.data.Dataset":
     """MinHash/LSH candidates → exact-cosine verify → top-N edge list."""
     cross = right is not None
+
+    exact_edges = None
+    if config.exact_dup_shortcircuit and not cross:
+        rep_map, exact_edges = _exact_dup_collapse(left, config, text_col)
+        reps_only = rep_map.map_batches(
+            lambda t: t.filter(
+                __import_pc__().equal(t["row_idx"], t["rep_idx"])
+            ).select(["row_idx"]),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda t: t.rename_columns(["rep_row"]), batch_format="pyarrow"
+        )
+        left = shuffle_join(
+            reps_only, left.select_columns(["row_idx", text_col]),
+            on="rep_row", right_on="row_idx", how="inner",
+            left_schema=pa.schema([("rep_row", pa.int64())]),
+            right_schema=pa.schema([("row_idx", pa.int64()), (text_col, pa.string())]),
+        ).map_batches(
+            lambda t: pa.table({"row_idx": t["row_idx"], text_col: t[text_col]}),
+            batch_format="pyarrow",
+        ).materialize()
 
     # 1. band rows
     banded = _band_rows(left, config, text_col, side=0)
@@ -346,42 +467,85 @@ def lsh_match_edges(
     )
     pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
 
-    # 5. verify: join both endpoints' tf-idf vectors, exact cosine
-    lvec = stage_map_batches(
-        left.select_columns(["row_idx", text_col]),
-        TfidfEncoder,
-        (vocab_ref, config, text_col),
-        config,
-        batch_format="pyarrow",
-        batch_size=config.batch_size,
-    ).map_batches(lambda t: _pack_side(t, "v_idx", "l_vec"), batch_format="pyarrow")
-    rsrc = right if cross else left
-    rvec = stage_map_batches(
-        rsrc.select_columns(["row_idx", text_col]),
-        TfidfEncoder,
-        (vocab_ref, config, text_col),
-        config,
-        batch_format="pyarrow",
-        batch_size=config.batch_size,
-    ).map_batches(lambda t: _pack_side(t, "w_idx", "r_vec"), batch_format="pyarrow")
-    pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
-    lvec_schema = pa.schema([("v_idx", pa.int64()), ("l_vec", pa.binary())])
-    rvec_schema = pa.schema([("w_idx", pa.int64()), ("r_vec", pa.binary())])
-    withl_schema = pa.schema(
-        list(pair_schema) + [pa.field("v_idx", pa.int64()), pa.field("l_vec", pa.binary())]
-    )
-    withl = shuffle_join(pairs, lvec, on="left_idx", right_on="v_idx", how="inner",
-                         left_schema=pair_schema, right_schema=lvec_schema)
-    withlr = shuffle_join(withl, rvec, on="right_idx", right_on="w_idx", how="inner",
-                          left_schema=withl_schema, right_schema=rvec_schema)
-    verified = stage_map_batches(
-        withlr,
-        _VerifyCosine,
-        (config.min_similarity,),
-        config,
-        batch_format="pandas",
-        batch_size=config.batch_size,
-    )
+    # 5. verify: exact cosine on candidate pairs.
+    #    broadcast mode (vectors fit the object store): pack all vectors into
+    #    one broadcast dict, verify in a single map stage — no join shuffles.
+    #    join mode (any scale): two bucketed shuffle_joins carry each
+    #    endpoint's vector to its pairs.
+    n_left = left.count()
+    n_right = right.count() if cross else 0
+    use_broadcast = (n_left + n_right) <= config.verify_broadcast_max_rows
+
+    def _vec_ds(src):
+        return stage_map_batches(
+            src.select_columns(["row_idx", text_col]),
+            TfidfEncoder,
+            (vocab_ref, config, text_col),
+            config,
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
+
+    if use_broadcast:
+        from ..functions.packing import pack_vector
+
+        vec_map: Dict[int, bytes] = {}
+        for batch in _vec_ds(left).iter_batches(batch_size=8192, batch_format="pyarrow"):
+            rows_np = batch["row_idx"].to_numpy(zero_copy_only=False)
+            for rid, ids, ws in zip(
+                rows_np.tolist(), batch["term_ids"].to_pylist(), batch["term_weights"].to_pylist()
+            ):
+                vec_map[rid] = pack_vector(
+                    np.asarray(ids, dtype=np.int32), np.asarray(ws, dtype=np.float64)
+                )
+        if cross:
+            rvec_map: Dict[int, bytes] = {}
+            for batch in _vec_ds(right).iter_batches(batch_size=8192, batch_format="pyarrow"):
+                rows_np = batch["row_idx"].to_numpy(zero_copy_only=False)
+                for rid, ids, ws in zip(
+                    rows_np.tolist(), batch["term_ids"].to_pylist(),
+                    batch["term_weights"].to_pylist(),
+                ):
+                    rvec_map[rid] = pack_vector(
+                        np.asarray(ids, dtype=np.int32), np.asarray(ws, dtype=np.float64)
+                    )
+        else:
+            rvec_map = vec_map
+        maps_ref = ray.put((vec_map, rvec_map if cross else None))
+        verified = stage_map_batches(
+            pairs,
+            _VerifyCosineBroadcast,
+            (maps_ref, config.min_similarity),
+            config,
+            batch_format="pyarrow",
+            batch_size=65536,
+        )
+    else:
+        lvec = _vec_ds(left).map_batches(
+            lambda t: _pack_side(t, "v_idx", "l_vec"), batch_format="pyarrow"
+        )
+        rsrc = right if cross else left
+        rvec = _vec_ds(rsrc).map_batches(
+            lambda t: _pack_side(t, "w_idx", "r_vec"), batch_format="pyarrow"
+        )
+        pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
+        lvec_schema = pa.schema([("v_idx", pa.int64()), ("l_vec", pa.binary())])
+        rvec_schema = pa.schema([("w_idx", pa.int64()), ("r_vec", pa.binary())])
+        withl_schema = pa.schema(
+            list(pair_schema) + [pa.field("v_idx", pa.int64()), pa.field("l_vec", pa.binary())]
+        )
+        withl = shuffle_join(pairs, lvec, on="left_idx", right_on="v_idx", how="inner",
+                             left_schema=pair_schema, right_schema=lvec_schema)
+        withlr = shuffle_join(withl, rvec, on="right_idx", right_on="w_idx", how="inner",
+                              left_schema=withl_schema, right_schema=rvec_schema)
+        verified = stage_map_batches(
+            withlr,
+            _VerifyCosine,
+            (config.min_similarity,),
+            config,
+            batch_format="pandas",
+            batch_size=config.batch_size,
+        )
 
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N
     if not cross:
@@ -412,10 +576,16 @@ def lsh_match_edges(
     if topn is not None:
         from ..functions.grouped import per_group_topk
 
-        return per_group_topk(
+        out = per_group_topk(
             verified, "left_idx", ["similarity", "right_idx"], [False, True], topn
         ).select_columns(["left_idx", "right_idx", "similarity"])
-    return verified.select_columns(["left_idx", "right_idx", "similarity"])
+    else:
+        out = verified.select_columns(["left_idx", "right_idx", "similarity"])
+    if exact_edges is not None:
+        # exact-dup member edges bypass top-N: dropping one would disconnect
+        # the member from its cluster
+        out = out.union(exact_edges)
+    return out
 
 
 def __import_pc__():

@@ -51,8 +51,15 @@ class _Normalize:
         return pa.table({"row_idx": t["row_idx"], "norm": pa.array(norm, type=pa.string())})
 
 
-def _prefix_scan(norms: List[str], rows: List[int], min_len: int) -> pd.DataFrame:
-    """Sorted scan with a prefix stack: emit (contained_row, container_row)."""
+def _prefix_scan(
+    norms: List[str], rows: List[int], min_len: int, min_ratio: float = 0.6
+) -> pd.DataFrame:
+    """Sorted scan with a prefix stack: emit (contained_row, container_row).
+
+    ``min_ratio`` requires the contained prefix to cover at least that
+    fraction of the container — a short shared prefix (e.g. a common first
+    word) is not a duplicate and would otherwise merge unrelated clusters.
+    """
     out_l: List[int] = []
     out_r: List[int] = []
     stack: List[tuple] = []  # (norm, row)
@@ -60,7 +67,11 @@ def _prefix_scan(norms: List[str], rows: List[int], min_len: int) -> pd.DataFram
         while stack and not s.startswith(stack[-1][0]):
             stack.pop()
         for pnorm, prow in stack:
-            if len(pnorm) >= min_len and len(s) > len(pnorm):
+            if (
+                len(pnorm) >= min_len
+                and len(s) > len(pnorm)
+                and len(pnorm) >= min_ratio * len(s)
+            ):
                 out_l.append(min(prow, r))
                 out_r.append(max(prow, r))
         stack.append((s, r))

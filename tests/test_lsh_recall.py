@@ -92,3 +92,29 @@ def test_lsh_cross_join():
     df = edges.to_pandas().sort_values(["left_idx", "right_idx"]).reset_index(drop=True)
     got = set(zip(df["left_idx"], df["right_idx"]))
     assert (0, 0) in got and (1, 1) in got and (2, 2) in got
+
+
+def test_exact_dup_shortcircuit_same_clusters():
+    """Cluster assignments must be identical with and without the exact-dup
+    short-circuit (the short-circuit only reshapes edges within exact-dup
+    groups from cliques to stars)."""
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    texts = (
+        ["identical mega duplicate record inc."] * 30
+        + ["identical mega duplicate record incorporated"] * 5
+        + [f"unique company number {i} gmbh" for i in range(30)]
+    )
+    t = pa.table(
+        {
+            "row_idx": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    base = dict(strategy="lsh", min_similarity=0.8, max_n_matches=20, use_actor_pools=False)
+    g1 = group_assignments(ds, EngineConfig(exact_dup_shortcircuit=False, **base))
+    g2 = group_assignments(ds, EngineConfig(exact_dup_shortcircuit=True, **base))
+    df1 = g1.to_pandas().sort_values("row_idx").reset_index(drop=True)
+    df2 = g2.to_pandas().sort_values("row_idx").reset_index(drop=True)
+    assert df1["group_id"].tolist() == df2["group_id"].tolist()

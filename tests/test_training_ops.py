@@ -148,8 +148,9 @@ def test_containment_edges():
     )
     out = containment_edges(ds, CFG, "text", min_len=6).to_pandas()
     got = set(zip(out["left_idx"].astype(int), out["right_idx"].astype(int)))
-    assert (0, 1) in got
-    assert (0, 3) in got and (1, 3) in got
+    assert (0, 1) in got  # substantial prefix (ratio 0.72)
+    # "mega ent" is a tiny prefix of rows 0/1 (ratio < 0.6): not a duplicate
+    assert (0, 3) not in got and (1, 3) not in got
     assert not any(2 in p for p in got)
 
 
