@@ -63,7 +63,10 @@ def run_headline() -> dict:
         min_similarity=0.8,
         max_n_matches=20,  # reference default: caps edge volume in mega-clusters
         exact_dup_shortcircuit=True,
-        use_actor_pools=True,
+        # stage state here is cheap (vocab dict, permutation table): stateless
+        # tasks reuse Ray's long-lived workers and skip per-stage actor-pool
+        # spin-up, which otherwise dominates the fixed latency
+        use_actor_pools=False,
         concurrency=max(2, NUM_CPUS - 2),
         batch_size=2048,
     )

@@ -23,11 +23,13 @@ from .config import EngineConfig
 from .sparse import Vocabulary
 
 StringGrouper = RayStringGrouper  # reference alias
+StringGrouperConfig = EngineConfig  # reference alias (frozen, same defaults)
 
 __all__ = [
     "EngineConfig",
     "RayStringGrouper",
     "StringGrouper",
+    "StringGrouperConfig",
     "StringGrouperNotFitException",
     "Vocabulary",
     "compute_pairwise_similarities",

@@ -147,7 +147,7 @@ def minhash_dedup(
         batch_format="pyarrow",
     ).materialize()
 
-    counts = banded.groupby("band_key").count()
+    counts = banded.groupby("band_key", num_partitions=64).count()
     import pyarrow.compute as pc
 
     hot_rows = counts.map_batches(

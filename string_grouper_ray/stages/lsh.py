@@ -408,23 +408,51 @@ def lsh_match_edges(
     exact_edges = None
     if config.exact_dup_shortcircuit and not cross:
         rep_map, exact_edges = _exact_dup_collapse(left, config, text_col)
-        reps_only = rep_map.map_batches(
-            lambda t: t.filter(
-                __import_pc__().equal(t["row_idx"], t["rep_idx"])
-            ).select(["row_idx"]),
-            batch_format="pyarrow",
-        ).map_batches(
-            lambda t: t.rename_columns(["rep_row"]), batch_format="pyarrow"
-        )
-        left = shuffle_join(
-            reps_only, left.select_columns(["row_idx", text_col]),
-            on="rep_row", right_on="row_idx", how="inner",
-            left_schema=pa.schema([("rep_row", pa.int64())]),
-            right_schema=pa.schema([("row_idx", pa.int64()), (text_col, pa.string())]),
-        ).map_batches(
-            lambda t: pa.table({"row_idx": t["row_idx"], text_col: t[text_col]}),
-            batch_format="pyarrow",
-        ).materialize()
+        n_rows = left.count()
+        if n_rows <= config.verify_broadcast_max_rows:
+            # broadcast the rep id set; filter is a map, not a join barrier
+            from ..functions.collect import collect_columns
+
+            cols = collect_columns(rep_map, ["row_idx", "rep_idx"])
+            rep_ids = np.sort(cols["row_idx"][cols["row_idx"] == cols["rep_idx"]])
+            rep_ref = ray.put(rep_ids)
+
+            class _RepFilter:
+                def __init__(self, ref):
+                    self.reps = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    rows = t["row_idx"].to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(self.reps, rows)
+                    ok = pos < len(self.reps)
+                    keep = np.zeros(len(rows), dtype=bool)
+                    keep[ok] = self.reps[pos[ok]] == rows[ok]
+                    return t.filter(pa.array(keep))
+
+            from ..functions.stagemap import stage_map_batches as _smb
+
+            left = _smb(
+                left.select_columns(["row_idx", text_col]), _RepFilter, (rep_ref,),
+                config, batch_format="pyarrow", batch_size=config.batch_size,
+            ).materialize()
+        else:
+            reps_only = rep_map.map_batches(
+                lambda t: t.filter(
+                    __import_pc__().equal(t["row_idx"], t["rep_idx"])
+                ).select(["row_idx"]),
+                batch_format="pyarrow",
+            ).map_batches(
+                lambda t: t.rename_columns(["rep_row"]), batch_format="pyarrow"
+            )
+            left = shuffle_join(
+                reps_only, left.select_columns(["row_idx", text_col]),
+                on="rep_row", right_on="row_idx", how="inner",
+                left_schema=pa.schema([("rep_row", pa.int64())]),
+                right_schema=pa.schema([("row_idx", pa.int64()), (text_col, pa.string())]),
+            ).map_batches(
+                lambda t: pa.table({"row_idx": t["row_idx"], text_col: t[text_col]}),
+                batch_format="pyarrow",
+            ).materialize()
 
     # 1. band rows
     banded = _band_rows(left, config, text_col, side=0)
@@ -433,7 +461,7 @@ def lsh_match_edges(
     banded = banded.materialize()
 
     # 2. hot-bucket census → broadcast salt map {band_key: n_chunks}
-    counts = banded.groupby("band_key").count()
+    counts = banded.groupby("band_key", num_partitions=64).count()
     hot_rows = counts.map_batches(
         lambda t: t.filter(
             __import_pc__().greater(t["count()"], config.max_bucket_size)

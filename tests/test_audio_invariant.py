@@ -73,3 +73,45 @@ def test_clip_table_payload_invariant():
 def test_clip_table_no_audio_mode():
     t = generate_clip_table(50, seed=1, with_audio=False)
     assert "bytes" not in t.schema.names
+
+
+def test_audio_features_stage():
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import audio_features
+    from string_grouper_ray.sources.synth import generate_clip_table
+
+    t = generate_clip_table(60, seed=5)
+    out = audio_features(
+        ray.data.from_arrow(t), EngineConfig(use_actor_pools=False)
+    ).to_pandas()
+    assert len(out) == 60
+    assert "bytes" not in out.columns  # payload dropped after decode
+    # duration from decode matches the metadata column
+    assert np.allclose(out["true_dur_ms"], out["dur_ms"], rtol=0.01)
+    assert (out["rms"] > 0).all()
+    assert out["silence_ratio"].between(0, 1).all()
+
+
+def test_invariant_checker_stage():
+    import ray.data
+    import pyarrow as pa
+
+    from string_grouper_ray.pipelines.multimodal import AudioInvariantChecker
+    from string_grouper_ray.sources.synth import generate_clip_table
+
+    t = generate_clip_table(40, seed=6)
+    groups = t["true_group"].to_numpy()
+    payloads = t["bytes"].to_pylist()
+    base_payload = {}
+    refs = []
+    for i in range(t.num_rows):
+        g = groups[i]
+        if g not in base_payload:
+            base_payload[g] = payloads[i]
+        refs.append(base_payload[g])
+    table = t.append_column("ref_bytes", pa.array(refs, type=pa.binary()))
+    table = table.append_column("ref_transcript", table["transcript"])
+    out = AudioInvariantChecker(30.0)(table)
+    assert out.to_pandas()["invariant_ok"].all()

@@ -196,3 +196,21 @@ def test_pairwise_compat():
     pd.testing.assert_series_equal(expected, sims)
     with pytest.raises(Exception):
         compute_pairwise_similarities(df1, df2[:-2])
+
+
+def test_config_defaults_and_immutability():
+    # reference StringGrouperConfigTest (test_string_grouper.py:92-116)
+    from string_grouper_ray import StringGrouperConfig
+
+    config = StringGrouperConfig()
+    assert config.min_similarity == 0.8
+    assert config.max_n_matches == 20
+    assert config.regex == r"[,-./]|\s"
+    assert config.ngram_size == 3
+    assert config.ignore_case is True
+    with pytest.raises(Exception):
+        config.min_similarity = 0.1
+    config2 = StringGrouperConfig(min_similarity=0.1, max_n_matches=100, number_of_processes=1)
+    assert config2.min_similarity == 0.1
+    assert config2.max_n_matches == 100
+    assert config2.number_of_processes == 1
