@@ -244,6 +244,140 @@ def _emit_pairs(g: pd.DataFrame, cross: bool) -> pd.DataFrame:
     return pd.DataFrame({"left_idx": pairs[:, 0], "right_idx": pairs[:, 1]})
 
 
+def _mset_hash(lhs: np.ndarray, rhs: np.ndarray, mode: int) -> int:
+    """63-bit FNV over the packed member ids + mode. Two distinct membersets
+    colliding would drop one bucket's pairs; at B buckets the probability is
+    ~B²/2^63 (≈5e-5 at 32M buckets) — accepted and documented."""
+    h = np.uint64(14695981039346656037)
+    prime = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for v in lhs:
+            h = (h ^ np.uint64(v)) * prime
+        h = (h ^ np.uint64(0xABCD)) * prime
+        for v in rhs:
+            h = (h ^ np.uint64(v)) * prime
+        h = (h ^ np.uint64(mode)) * prime
+    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+
+def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """One row per (band_key, salt) group: packed sorted member ids (+sides).
+
+    mode 0 = pair within the single member list; mode 1 = pair strictly
+    across the two chunk lists (off-diagonal salted sub-bucket).
+    """
+    keys = df["band_key"].to_numpy(dtype=np.int64)
+    salts = df["salt"].to_numpy(dtype=np.int64)
+    rows = df["row_idx"].to_numpy(dtype=np.int64)
+    sides = df["side"].to_numpy().astype(np.int8)
+    chunks = df["chunk"].to_numpy()
+    diags = df["diag_sub"].to_numpy()
+    order = np.lexsort((rows, salts, keys))
+    keys, salts, rows = keys[order], salts[order], rows[order]
+    sides, chunks, diags = sides[order], chunks[order], diags[order]
+
+    combo = keys * np.int64(1000003) + salts  # group id within this bucket
+    boundaries = np.flatnonzero(np.diff(combo)) + 1
+    offsets = np.concatenate([[0], boundaries, [len(combo)]]).astype(np.int64)
+
+    out_hash: List[int] = []
+    out_l: List[bytes] = []
+    out_r: List[bytes] = []
+    out_ls: List[bytes] = []
+    out_rs: List[bytes] = []
+    out_mode: List[int] = []
+    for gi in range(len(offsets) - 1):
+        lo, hi = offsets[gi], offsets[gi + 1]
+        if hi - lo < 2:
+            continue
+        g_rows = rows[lo:hi]
+        g_sides = sides[lo:hi]
+        if salts[lo] > 0 and not diags[lo]:
+            g_chunks = chunks[lo:hi]
+            uniq = np.unique(g_chunks)
+            if len(uniq) < 2:
+                continue
+            lm = g_chunks == uniq[0]
+            lhs, rhs = g_rows[lm], g_rows[~lm]
+            lss, rss = g_sides[lm], g_sides[~lm]
+            mode = 1
+        else:
+            lhs, rhs = g_rows, np.empty(0, dtype=np.int64)
+            lss, rss = g_sides, np.empty(0, dtype=np.int8)
+            mode = 0
+        out_hash.append(_mset_hash(lhs, rhs, mode))
+        out_l.append(lhs.tobytes())
+        out_r.append(rhs.tobytes())
+        out_ls.append(lss.tobytes())
+        out_rs.append(rss.tobytes())
+        out_mode.append(mode)
+    return pd.DataFrame(
+        {
+            "mset_hash": pd.array(out_hash, dtype="int64"),
+            "l_members": out_l,
+            "r_members": out_r,
+            "l_sides": out_ls,
+            "r_sides": out_rs,
+            "mode": pd.array(out_mode, dtype="int8"),
+        }
+    )
+
+
+class _PairsFromMembersets:
+    """Emit candidate pairs from deduplicated membersets, vectorized: all
+    mode-0 rows go through the segment-pair kernel at once."""
+
+    def __init__(self, cross: bool):
+        self.cross = cross
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        l_members = batch["l_members"].to_numpy()
+        r_members = batch["r_members"].to_numpy()
+        l_sides_col = batch["l_sides"].to_numpy()
+        r_sides_col = batch["r_sides"].to_numpy()
+        modes = batch["mode"].to_numpy()
+
+        outs = []
+        same_mask = modes == 0
+        if same_mask.any():
+            arrs = [np.frombuffer(b, dtype=np.int64) for b in l_members[same_mask]]
+            sarrs = [np.frombuffer(b, dtype=np.int8) for b in l_sides_col[same_mask]]
+            sizes = np.array([len(a) for a in arrs], dtype=np.int64)
+            offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
+            all_rows = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+            all_sides = np.concatenate(sarrs) if sarrs else np.empty(0, dtype=np.int8)
+            li, ri = _segment_pairs(offsets, sizes)
+            a, b = all_rows[li], all_rows[ri]
+            sa, sb = all_sides[li], all_sides[ri]
+            outs.append(self._finish(a, b, sa, sb))
+        for i in np.flatnonzero(modes == 1):
+            lhs = np.frombuffer(l_members[i], dtype=np.int64)
+            rhs = np.frombuffer(r_members[i], dtype=np.int64)
+            lss = np.frombuffer(l_sides_col[i], dtype=np.int8)
+            rss = np.frombuffer(r_sides_col[i], dtype=np.int8)
+            gi, gj = np.meshgrid(
+                np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
+            )
+            gi, gj = gi.reshape(-1), gj.reshape(-1)
+            outs.append(self._finish(lhs[gi], rhs[gj], lss[gi], rss[gj]))
+        if not outs:
+            return pd.DataFrame(
+                {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    def _finish(self, a, b, sa, sb) -> pd.DataFrame:
+        if self.cross:
+            keep = sa != sb
+            a2 = np.where(sa == 0, a, b)
+            b2 = np.where(sa == 0, b, a)
+            a, b = a2[keep], b2[keep]
+        else:
+            keep = a != b
+            a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+        return pd.DataFrame({"left_idx": a, "right_idx": b})
+
+
 def _pack_side(t: pa.Table, idx_name: str, vec_name: str) -> pa.Table:
     """(row_idx, term_ids, term_weights) → (idx, packed-binary vector)."""
     from ..functions.packing import pack_vector
@@ -485,13 +619,19 @@ def lsh_match_edges(
         batch_size=config.batch_size,
     )
 
-    # 3-4. pair emission per salted bucket (bucketed grouped-map: one task
-    # per hash bucket, fully-vectorized segment-pair kernel inside), then
-    # global pair dedup
+    # 3-4. memberset extraction per salted bucket → GLOBAL memberset dedup →
+    # pair emission → pair dedup.
+    # The memberset dedup is the big shuffle saver: a stable near-dup cluster
+    # lands in the same bucket in most of the 32 bands, and without it every
+    # band re-emits the same O(k²) pairs (observed 924M pre-dedup pair rows
+    # for 1M inputs). One row per bucket (packed member ids, ~k×8 bytes)
+    # collapses band repeats BEFORE the quadratic emission.
     from ..functions.grouped import bucketed_group_map, dedup_pairs
 
-    pairs = bucketed_group_map(
-        salted, ["band_key", "salt"], lambda df: emit_pairs_bucket(df, cross)
+    msets = bucketed_group_map(salted, ["band_key", "salt"], _memberset_bucket)
+    msets = dedup_pairs(msets, ["mset_hash"])
+    pairs = msets.map_batches(
+        _PairsFromMembersets(cross), batch_format="pandas", batch_size=8192
     )
     pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
 
