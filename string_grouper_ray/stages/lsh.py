@@ -325,10 +325,12 @@ def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
 
 class _PairsFromMembersets:
     """Emit candidate pairs from deduplicated membersets, vectorized: all
-    mode-0 rows go through the segment-pair kernel at once."""
+    mode-0 rows go through the segment-pair (clique) or first-vs-rest (star)
+    kernel at once."""
 
-    def __init__(self, cross: bool):
+    def __init__(self, cross: bool, emission: str = "clique"):
         self.cross = cross
+        self.star = emission == "star" and not cross
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         l_members = batch["l_members"].to_numpy()
@@ -346,7 +348,17 @@ class _PairsFromMembersets:
             offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
             all_rows = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
             all_sides = np.concatenate(sarrs) if sarrs else np.empty(0, dtype=np.int8)
-            li, ri = _segment_pairs(offsets, sizes)
+            if self.star:
+                # members are sorted, so element 0 is the bucket min:
+                # emit (min, other) for every other member
+                li = np.repeat(offsets, sizes - 1)
+                csum = np.cumsum(sizes - 1) - (sizes - 1)
+                within = np.arange(int((sizes - 1).sum()), dtype=np.int64) - np.repeat(
+                    csum, sizes - 1
+                )
+                ri = np.repeat(offsets, sizes - 1) + 1 + within
+            else:
+                li, ri = _segment_pairs(offsets, sizes)
             a, b = all_rows[li], all_rows[ri]
             sa, sb = all_sides[li], all_sides[ri]
             outs.append(self._finish(a, b, sa, sb))
@@ -355,11 +367,26 @@ class _PairsFromMembersets:
             rhs = np.frombuffer(r_members[i], dtype=np.int64)
             lss = np.frombuffer(l_sides_col[i], dtype=np.int8)
             rss = np.frombuffer(r_sides_col[i], dtype=np.int8)
-            gi, gj = np.meshgrid(
-                np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
-            )
-            gi, gj = gi.reshape(-1), gj.reshape(-1)
-            outs.append(self._finish(lhs[gi], rhs[gj], lss[gi], rss[gj]))
+            if self.star:
+                # span the chunk pair: union's min vs every other member
+                allm = np.concatenate([lhs, rhs])
+                alls = np.concatenate([lss, rss])
+                mi = int(np.argmin(allm))
+                sel = np.arange(len(allm)) != mi
+                outs.append(
+                    self._finish(
+                        np.full(sel.sum(), allm[mi], dtype=np.int64),
+                        allm[sel],
+                        np.full(sel.sum(), alls[mi], dtype=np.int8),
+                        alls[sel],
+                    )
+                )
+            else:
+                gi, gj = np.meshgrid(
+                    np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
+                )
+                gi, gj = gi.reshape(-1), gj.reshape(-1)
+                outs.append(self._finish(lhs[gi], rhs[gj], lss[gi], rss[gj]))
         if not outs:
             return pd.DataFrame(
                 {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
@@ -631,7 +658,9 @@ def lsh_match_edges(
     msets = bucketed_group_map(salted, ["band_key", "salt"], _memberset_bucket)
     msets = dedup_pairs(msets, ["mset_hash"])
     pairs = msets.map_batches(
-        _PairsFromMembersets(cross), batch_format="pandas", batch_size=8192
+        _PairsFromMembersets(cross, config.lsh_pair_emission),
+        batch_format="pandas",
+        batch_size=8192,
     )
     pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
 

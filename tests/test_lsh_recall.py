@@ -118,3 +118,44 @@ def test_exact_dup_shortcircuit_same_clusters():
     df1 = g1.to_pandas().sort_values("row_idx").reset_index(drop=True)
     df2 = g2.to_pandas().sort_values("row_idx").reset_index(drop=True)
     assert df1["group_id"].tolist() == df2["group_id"].tolist()
+
+
+def test_star_emission_cluster_recall():
+    """Star (spanning) pair emission must reproduce the exact matcher's
+    cluster assignments at high recall — pairs differ, components must not."""
+    from string_grouper_ray.pipelines.cluster import group_assignments
+    from string_grouper_ray.sources.synth import generate_clip_table
+
+    table = generate_clip_table(2000, seed=7, with_audio=False)
+    t = pa.table(
+        {
+            "row_idx": pa.array(np.arange(table.num_rows, dtype=np.int64)),
+            "text": table["transcript"],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact_cfg = EngineConfig(strategy="exact", min_similarity=0.8, max_n_matches=None,
+                             use_actor_pools=False)
+    star_cfg = EngineConfig(strategy="lsh", min_similarity=0.8, max_n_matches=None,
+                            lsh_pair_emission="star", exact_dup_shortcircuit=True,
+                            use_actor_pools=False)
+    ge = group_assignments(ds, exact_cfg).to_pandas().sort_values("row_idx")
+    gs = group_assignments(ds, star_cfg).to_pandas().sort_values("row_idx")
+
+    def pair_set(df):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for r, g in zip(df["row_idx"], df["group_id"]):
+            groups[g].append(r)
+        pairs = set()
+        for members in groups.values():
+            members = sorted(members)
+            pairs.update((members[0], m) for m in members[1:])
+        return pairs
+
+    # same-cluster relation recall: fraction of exact's (min,member) links
+    # reproduced by the star pipeline
+    ep, sp = pair_set(ge), pair_set(gs)
+    recall = len(ep & sp) / max(1, len(ep))
+    assert recall >= 0.98, recall
