@@ -86,8 +86,10 @@ class EngineConfig:
     # per-batch size for the vectorize / matmul stages
     batch_size: int = 4096
     # connected components: below this many edges the driver runs a local
-    # union-find; above, iterative distributed label propagation.
-    cc_driver_max_edges: int = 5_000_000
+    # (numpy-vectorized) union-find; above, iterative distributed label
+    # propagation. 50M edges ≈ 800MB driver-side — cheap next to the round
+    # cost of the distributed path; raise further on a big-memory driver.
+    cc_driver_max_edges: int = 50_000_000
     # guard for zero-similarity completion (reference O(n*m) cartesian)
     max_zero_pairs: int = 10_000_000
     # self-join LSH only: collapse exact duplicates (identical normalized
