@@ -54,6 +54,14 @@ sims AS (
 """
 
 
+def _round(arr, ndigits: int):
+    """DuckDB-compatible round: ties away from zero (Arrow defaults to
+    half-to-even, which diverges from the SQL oracle on .xxx5 boundaries)."""
+    import pyarrow.compute as pc
+
+    return pc.round(arr, ndigits=ndigits, round_mode="half_towards_infinity")
+
+
 def _docs_ds(sf_dir: str, table: str, id_col: str, text_col: str):
     import ray.data
 
@@ -95,7 +103,7 @@ def _q_match_strings_part(sf_dir: str, strategy: str = "exact"):
             {
                 "left_id": t["left_idx"],
                 "right_id": t["right_idx"],
-                "similarity": pc.round(t["similarity"], ndigits=4),
+                "similarity": _round(t["similarity"], 4),
             }
         )
 
@@ -113,6 +121,41 @@ def _q_group_part(sf_dir: str):
         lambda t: pa.table({"id": t["row_idx"], "rep_id": t["group_rep_idx"]}),
         batch_format="pyarrow",
     )
+
+
+def _q_nearest_part(sf_dir: str):
+    """match_most_similar semantics (J4, reference string_grouper.py:783-849):
+    master = even p_partkeys, duplicates = odd; per dupe the max-sim master
+    above threshold (ties -> min master id), unmatched dupes keep themselves."""
+    import pyarrow.compute as pc
+
+    from string_grouper_ray.pipelines.match import match_edges
+    from string_grouper_ray.pipelines.nearest import nearest_join
+
+    ds = _docs_ds(sf_dir, "part", "p_partkey", "p_name")
+    master = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["row_idx"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    dupes = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["row_idx"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    cfg = _cfg(min_similarity=0.8, max_n_matches=None, force_symmetries=False)
+    edges, _ = match_edges(master, dupes, cfg)
+    out = nearest_join(dupes, master, edges, cfg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        sim = pc.coalesce(_round(t["similarity"], 4), pa.scalar(-1.0, pa.float64()))
+        return pa.table(
+            {
+                "id": t["row_idx"],
+                "most_similar_id": t["most_similar_idx"],
+                "similarity": sim,
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_pairwise_part(sf_dir: str):
@@ -137,7 +180,7 @@ def _q_pairwise_part(sf_dir: str):
         import pyarrow.compute as pc
 
         return pa.table(
-            {"id": t["row_idx"], "similarity": pc.round(t["similarity"], ndigits=4)}
+            {"id": t["row_idx"], "similarity": _round(t["similarity"], 4)}
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
@@ -200,7 +243,7 @@ def _q_jaccard_part(sf_dir: str):
             {
                 "left_id": t["left_id"],
                 "right_id": t["right_id"],
-                "jaccard": pc.round(t["jaccard"], ndigits=4),
+                "jaccard": _round(t["jaccard"], 4),
             }
         )
 
@@ -223,7 +266,7 @@ def _q_ann_topk(sf_dir: str):
             {
                 "query_id": t["query_id"],
                 "vec_id": t["vec_id"],
-                "cosine": pc.round(t["cosine"], ndigits=4),
+                "cosine": _round(t["cosine"], 4),
             }
         )
 
@@ -288,9 +331,9 @@ def _q_quality(sf_dir: str):
             {
                 "doc_id": t["doc_id"],
                 "n_chars_q": t["n_chars_q"],
-                "punct_ratio": pc.round(t["punct_ratio"], ndigits=4),
-                "digit_ratio": pc.round(t["digit_ratio"], ndigits=4),
-                "stopword_ratio": pc.round(t["stopword_ratio"], ndigits=4),
+                "punct_ratio": _round(t["punct_ratio"], 4),
+                "digit_ratio": _round(t["digit_ratio"], 4),
+                "stopword_ratio": _round(t["stopword_ratio"], 4),
             }
         )
 
@@ -363,8 +406,8 @@ def _q_audio_features(sf_dir: str):
         return pa.table(
             {
                 "clip_id": t["clip_id"],
-                "true_dur_ms": pc.round(t["true_dur_ms"], ndigits=1),
-                "rms": pc.round(t["rms"], ndigits=4),
+                "true_dur_ms": _round(t["true_dur_ms"], 1),
+                "rms": _round(t["rms"], 4),
             }
         )
 
@@ -396,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_strings_part": lambda sf: _q_match_strings_part(sf, "exact"),
         "match_strings_part_lsh": lambda sf: _q_match_strings_part(sf, "lsh"),
         "group_part": _q_group_part,
+        "nearest_part": _q_nearest_part,
         "pairwise_part": _q_pairwise_part,
         "containment_part": _q_containment_part,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -455,6 +499,42 @@ FROM members m JOIN reps r ON m.comp_id = r.comp_id
     )
     # recursive CTEs need the RECURSIVE keyword up front
     group_sql = group_sql.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1)
+
+    nearest_sql = r"""
+WITH sides AS (
+    SELECT p_partkey AS id, p_partkey % 2 AS side,
+           regexp_replace(lower(p_name), '[,-./\s]', '', 'g') AS s FROM part
+),
+grams AS (
+    SELECT id, side, substring(s, CAST(u AS INTEGER), 3) AS g
+    FROM (SELECT id, side, s, unnest(generate_series(1, length(s) - 2)) AS u
+          FROM sides WHERE length(s) >= 3)
+),
+tf AS (SELECT id, side, g, CAST(count(*) AS DOUBLE) AS tf FROM grams GROUP BY id, side, g),
+df AS (SELECT g, CAST(count(DISTINCT id) AS DOUBLE) AS df FROM grams GROUP BY g),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM sides),
+w AS (
+    SELECT tf.id, tf.side, tf.g, tf.tf * (ln((1 + n.n) / (1 + df.df)) + 1) AS w
+    FROM tf JOIN df ON tf.g = df.g CROSS JOIN n
+),
+norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+wn AS (SELECT w.id, w.side, w.g, w.w / norms.nrm AS w FROM w JOIN norms ON w.id = norms.id),
+sims AS (
+    SELECT m.id AS m_id, d.id AS d_id, sum(m.w * d.w) AS sim
+    FROM wn m JOIN wn d ON m.g = d.g
+    WHERE m.side = 0 AND d.side = 1
+    GROUP BY m.id, d.id
+),
+best AS (
+    SELECT d_id, m_id, sim FROM sims WHERE sim >= 0.8
+    QUALIFY row_number() OVER (PARTITION BY d_id ORDER BY round(sim, 9) DESC, m_id) = 1
+)
+SELECT s.id AS id,
+       coalesce(b.m_id, s.id) AS most_similar_id,
+       coalesce(round(b.sim, 4), -1.0) AS similarity
+FROM sides s LEFT JOIN best b ON s.id = b.d_id
+WHERE s.side = 1
+"""
 
     pairwise_sql = r"""
 WITH sides AS (
@@ -580,6 +660,7 @@ FROM documents
         "match_strings_part": match_sql,
         "match_strings_part_lsh": match_sql,
         "group_part": group_sql,
+        "nearest_part": nearest_sql,
         "pairwise_part": pairwise_sql,
         "containment_part": containment_sql,
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",

@@ -93,6 +93,28 @@ def broadcast_join(
     )
 
 
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """``ds.schema()`` with pandas extension dtypes (nullable Int64 from an
+    upstream pandas-block stage) mapped back to Arrow types instead of None."""
+    sch = ds.schema()
+    fields = []
+    for name, typ in zip(sch.names, sch.types):
+        if not isinstance(typ, pa.DataType):
+            try:
+                typ = pa.from_numpy_dtype(getattr(typ, "numpy_dtype", typ))
+            except (TypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                typ = {"Int64": pa.int64(), "Int32": pa.int32(),
+                       "Float64": pa.float64(), "boolean": pa.bool_(),
+                       "string": pa.string()}.get(str(typ))
+        if typ is None:
+            raise TypeError(
+                f"shuffle_join: cannot map dtype of column {name!r} to Arrow; "
+                "pass an explicit schema"
+            )
+        fields.append(pa.field(name, typ))
+    return pa.schema(fields)
+
+
 def shuffle_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -117,8 +139,8 @@ def shuffle_join(
     (``Dataset.schema()`` on an unexecuted shuffle triggers real work).
     """
     right_on = right_on or on
-    left_schema = left_schema or left.schema()
-    right_schema = right_schema or right.schema()
+    left_schema = left_schema or _arrow_schema(left)
+    right_schema = right_schema or _arrow_schema(right)
     overlap = (set(left_schema.names) & set(right_schema.names)) - (
         {on} if on == right_on else set()
     )

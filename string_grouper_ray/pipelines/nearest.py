@@ -34,8 +34,11 @@ def best_master_per_dupe(
     from ..functions.grouped import bucketed_group_map
 
     def best_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["right_idx", "similarity", "left_idx"],
+        # tie-break on similarity rounded to 9 decimals so the winner is
+        # invariant to float summation order across partitions/engines
+        # (sub-1e-9 differences are genuine ties; same trick as cluster reps)
+        df = df.assign(__tie_sim=df["similarity"].round(9)).sort_values(
+            ["right_idx", "__tie_sim", "left_idx"],
             ascending=[True, False, True],
             kind="stable",
         )
@@ -66,6 +69,16 @@ def nearest_join(
     """
     config = config or EngineConfig()
     best = best_master_per_dupe(edges, config)
+    text_type = duplicates.schema().base_schema.field(text_col).type
+    joined_schema = pa.schema(
+        [
+            ("row_idx", pa.int64()),
+            (text_col, text_type),
+            ("right_idx", pa.int64()),
+            ("best_left_idx", pa.int64()),
+            ("similarity", pa.float64()),
+        ]
+    )
     joined = shuffle_join(
         duplicates.select_columns(["row_idx", text_col]),
         best,
@@ -76,18 +89,31 @@ def nearest_join(
     master_texts = master.select_columns(["row_idx", text_col]).map_batches(
         lambda t: t.rename_columns(["m_idx", "m_text"]), batch_format="pyarrow"
     )
-    joined = shuffle_join(joined, master_texts, on="best_left_idx", right_on="m_idx", how="left")
+    joined = shuffle_join(
+        joined,
+        master_texts,
+        on="best_left_idx",
+        right_on="m_idx",
+        how="left",
+        left_schema=joined_schema,
+        right_schema=pa.schema([("m_idx", pa.int64()), ("m_text", text_type)]),
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # a bucket where no dupe matched produces all-null columns that Arrow
+        # types as `null` — cast to the expected types before coalescing
+        m_text = t["m_text"]
+        if pa.types.is_null(m_text.type):
+            m_text = m_text.cast(text_type)
         best_idx = t["best_left_idx"].cast(pa.float64()).cast(pa.int64(), safe=False)
         matched = pc.is_valid(t["best_left_idx"])
         return pa.table(
             {
                 "row_idx": t["row_idx"].cast(pa.int64()),
                 "most_similar_idx": pc.coalesce(best_idx, t["row_idx"].cast(pa.int64())),
-                "most_similar_text": pc.coalesce(t["m_text"], t[text_col]),
+                "most_similar_text": pc.coalesce(m_text, t[text_col]),
                 "similarity": t["similarity"].cast(pa.float64()),
                 "matched": matched,
             }
