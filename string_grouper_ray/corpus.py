@@ -74,18 +74,17 @@ def fit_vocabulary(
     from .functions.collect import collect_column_lists
     from .functions.stagemap import stage_map_batches
 
-    agg = (
-        stage_map_batches(
-            ds,
-            _PartialDocFreq,
-            (config, text_col),
-            config,
-            batch_format="pyarrow",
-            batch_size=config.batch_size,
-        )
-        .groupby("ngram", num_partitions=32)
-        .sum("df")
+    from .functions.grouped import groupby_agg
+
+    partials = stage_map_batches(
+        ds,
+        _PartialDocFreq,
+        (config, text_col),
+        config,
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
     )
+    agg = groupby_agg(partials, "ngram", "df", "sum")
     cols = collect_column_lists(agg, ["ngram", "sum(df)"])
     return Vocabulary.from_doc_frequencies(cols["ngram"], cols["sum(df)"], n_docs)
 

@@ -58,13 +58,13 @@ def group_assignments(
     if config.group_rep == GROUP_REP_CENTROID:
         # weighted degree per node: sum of similarities over its edges,
         # including the forced diagonal (string_grouper.py:875-881)
-        weights = (
-            edges.groupby("left_idx", num_partitions=32)
-            .sum("similarity")
-            .map_batches(
-                lambda t: t.rename_columns(["row_idx", "weight"]),
-                batch_format="pyarrow",
-            )
+        from ..functions.grouped import groupby_agg
+
+        weights = groupby_agg(
+            edges, "left_idx", "similarity", "sum", out_col="weight"
+        ).map_batches(
+            lambda t: t.rename_columns(["row_idx", "weight"]),
+            batch_format="pyarrow",
         )
         labeled = shuffle_join(
             labels, weights, on="row_idx", how="left",

@@ -40,7 +40,9 @@ def exact_dedup(
 ) -> "ray.data.Dataset":
     """One row per distinct text, keeping the minimum id
     (= ``SELECT min(id) AS id, text GROUP BY text``)."""
-    out = ds.select_columns([id_col, text_col]).groupby(text_col).min(id_col)
+    from ..functions.grouped import groupby_agg
+
+    out = groupby_agg(ds.select_columns([id_col, text_col]), text_col, id_col, "min")
     return out.map_batches(
         lambda t: pa.table({id_col: t[f"min({id_col})"], text_col: t[text_col]}),
         batch_format="pyarrow",
@@ -147,7 +149,9 @@ def minhash_dedup(
         batch_format="pyarrow",
     ).materialize()
 
-    counts = banded.groupby("band_key", num_partitions=64).count()
+    from ..functions.grouped import groupby_agg
+
+    counts = groupby_agg(banded, "band_key", None, "count", num_buckets=64)
     import pyarrow.compute as pc
 
     hot_rows = counts.map_batches(

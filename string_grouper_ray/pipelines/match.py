@@ -254,5 +254,35 @@ def match_edges(
         )
 
     if self_join and config.force_symmetries:
-        edges = symmetrize_edges(edges, left, config)
+        if config.strategy != "lsh" and config.max_n_matches is None:
+            # the uncapped exact self-join matrix is already symmetric:
+            # sim(i,j) and sim(j,i) are term-ordered dot products of the same
+            # two vectors (bitwise equal), so both directions pass or fail
+            # the threshold together. Only the diagonal needs forcing to
+            # exactly 1.0 (_fix_diagonal) — the mirror union and the pair-key
+            # dedup shuffle of symmetrize_edges are redundant here.
+            edges = force_diagonal(edges, left)
+        else:
+            edges = symmetrize_edges(edges, left, config)
     return edges, vocab
+
+
+def force_diagonal(
+    edges: "ray.data.Dataset", nodes: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Replace all diagonal entries with exact (i, i, 1.0) rows for every
+    node — streaming, no shuffle (reference ``_fix_diagonal``)."""
+
+    def drop_diag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.not_equal(t["left_idx"], t["right_idx"]))
+
+    def diag(t: pa.Table) -> pa.Table:
+        idx = t["row_idx"]
+        ones = pa.array(np.ones(len(t), dtype=np.float64))
+        return pa.table({"left_idx": idx, "right_idx": idx, "similarity": ones})
+
+    off = edges.map_batches(drop_diag, batch_format="pyarrow")
+    diagonal = nodes.select_columns(["row_idx"]).map_batches(diag, batch_format="pyarrow")
+    return off.union(diagonal)

@@ -622,7 +622,9 @@ def lsh_match_edges(
     banded = banded.materialize()
 
     # 2. hot-bucket census → broadcast salt map {band_key: n_chunks}
-    counts = banded.groupby("band_key", num_partitions=64).count()
+    from ..functions.grouped import groupby_agg
+
+    counts = groupby_agg(banded, "band_key", None, "count", num_buckets=64)
     hot_rows = counts.map_batches(
         lambda t: t.filter(
             __import_pc__().greater(t["count()"], config.max_bucket_size)

@@ -48,6 +48,17 @@ def _driver_union_find(l: np.ndarray, r: np.ndarray, nodes: np.ndarray) -> np.nd
     li = np.searchsorted(sorted_nodes, l).astype(np.int64)
     ri = np.searchsorted(sorted_nodes, r).astype(np.int64)
     n = len(nodes)
+    # fail loudly on edges referencing unknown nodes: an unchecked
+    # searchsorted would either raise an opaque IndexError or silently alias
+    # the endpoint to a neighboring node, corrupting component labels
+    li_ok = (li < n) & (sorted_nodes[np.minimum(li, n - 1)] == l)
+    ri_ok = (ri < n) & (sorted_nodes[np.minimum(ri, n - 1)] == r)
+    if not (bool(li_ok.all()) and bool(ri_ok.all())):
+        bad = np.concatenate([l[~li_ok], r[~ri_ok]])[:5]
+        raise ValueError(
+            f"connected_components: edge endpoints not present in the nodes "
+            f"dataset (first offenders: {bad.tolist()})"
+        )
     label = np.arange(n, dtype=np.int64)
     while True:
         # relax across edges (both directions)
@@ -155,13 +166,12 @@ def _cc_distributed(
             lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
             batch_format="pyarrow",
         )
-        new_labels = (
-            msgs.union(self_msgs)
-            .groupby("node")
-            .min("cand")
-            .map_batches(
-                lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-            )
+        from ..functions.grouped import groupby_agg
+
+        new_labels = groupby_agg(
+            msgs.union(self_msgs), "node", "cand", "min"
+        ).map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
         )
         # pointer jump: node -> label(label(node))
         ptr = new_labels.map_batches(
