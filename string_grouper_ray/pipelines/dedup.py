@@ -35,6 +35,16 @@ from ..stages.minhash import MinHashBander, band_keys_matrix
 from ..text import NGramTokenizer
 
 
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a 16-bit lookup table (numpy<2 has no
+    ``bitwise_count``)."""
+    v = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint16).reshape(-1, 4)
+    return _POP16[v].sum(axis=1, dtype=np.int64)
+
+
 def exact_dedup(
     ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
 ) -> "ray.data.Dataset":
@@ -257,16 +267,55 @@ def simhash_dedup(
     )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"left_idx": np.empty(0, np.int64),
+                              "right_idx": np.empty(0, np.int64)})
         rows = g["row_idx"].to_numpy(dtype=np.int64)
-        sigs = g["sig"].to_numpy()
-        if len(rows) < 2 or len(rows) > 2000:  # hot-bucket guard
-            return pd.DataFrame({"left_idx": np.empty(0, np.int64),
-                                 "right_idx": np.empty(0, np.int64)})
-        li, ri = np.triu_indices(len(rows), k=1)
-        x = sigs[li].astype(np.uint64) ^ sigs[ri].astype(np.uint64)
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        keep = ham <= max_hamming
-        a, b = rows[li][keep], rows[ri][keep]
+        sigs = g["sig"].to_numpy().astype(np.uint64)
+        if len(rows) < 2:
+            return empty
+        # 1. exact-dup collapse: identical sigs (the usual cause of hot
+        #    buckets) become star edges to the min-row rep — connectivity is
+        #    all the downstream CC needs, so no quadratic emission here.
+        order = np.lexsort((rows, sigs))
+        rows, sigs = rows[order], sigs[order]
+        new_sig = np.ones(len(sigs), dtype=bool)
+        new_sig[1:] = sigs[1:] != sigs[:-1]
+        group_of = np.cumsum(new_sig) - 1
+        rep_rows = rows[new_sig]  # min row per distinct sig (rows sorted within sig)
+        out_l = [rep_rows[group_of[~new_sig]]]
+        out_r = [rows[~new_sig]]
+        # 2. Hamming pairs across DISTINCT sigs, chunked+vectorized popcount:
+        #    bounded memory at any bucket size, zero recall loss (the old
+        #    guard silently dropped all pairs for buckets >2000 rows).
+        d_sigs = sigs[new_sig]
+        d = len(d_sigs)
+        if d >= 2:
+            if d > 50_000:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "simhash bucket with %d distinct signatures — quadratic "
+                    "verify will be slow (still exact)", d
+                )
+            chunk = 1024
+            for i0 in range(0, d, chunk):
+                ai = d_sigs[i0 : i0 + chunk]
+                ra = rep_rows[i0 : i0 + chunk]
+                for j0 in range(i0, d, chunk):
+                    bj = d_sigs[j0 : j0 + chunk]
+                    rb = rep_rows[j0 : j0 + chunk]
+                    x = ai[:, None] ^ bj[None, :]
+                    ham = _popcount64(x.reshape(-1)).reshape(x.shape)
+                    if i0 == j0:
+                        ham[np.tril_indices(len(ai), k=0)] = 64 + max_hamming
+                    ii, jj = np.nonzero(ham <= max_hamming)
+                    if len(ii):
+                        out_l.append(ra[ii])
+                        out_r.append(rb[jj])
+        a = np.concatenate(out_l)
+        b = np.concatenate(out_r)
+        if len(a) == 0:
+            return empty
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"left_idx": lo, "right_idx": hi}).drop_duplicates()
 

@@ -274,6 +274,46 @@ def merge_row_topn(
     return l_s[keep], r_s[keep], s_s[keep]
 
 
+def pair_dots(
+    l_csr: CSRBatch,
+    r_csr: CSRBatch,
+    l_of_pair: np.ndarray,
+    r_of_pair: np.ndarray,
+) -> np.ndarray:
+    """Dot products of explicit (left row, right row) pairs, vectorized
+    across the entire pair set — the verify kernel for LSH candidates.
+
+    Each pair's terms are expanded under the key ``pair * stride + term``.
+    Because pair ids are emitted in ascending order and CSR rows keep their
+    term ids sorted, BOTH key arrays come out already sorted — the sparse
+    intersection is one ``searchsorted`` plus a scatter-add, with no sort
+    and no Python loop over pairs.
+    """
+    n_pairs = len(l_of_pair)
+    out = np.zeros(n_pairs, dtype=np.float64)
+    if n_pairs == 0:
+        return out
+    stride = np.int64(max(l_csr.n_cols, r_csr.n_cols))
+    pair_ids = np.arange(n_pairs, dtype=np.int64)
+
+    def expand(csr: CSRBatch, rows: np.ndarray):
+        lens = np.diff(csr.indptr)[rows].astype(np.int64)
+        pos = _gather_positions(csr.indptr[:-1][rows], lens)
+        keys = np.repeat(pair_ids, lens) * stride + csr.indices[pos].astype(np.int64)
+        return keys, csr.data[pos]
+
+    kl, vl = expand(l_csr, l_of_pair)
+    kr, vr = expand(r_csr, r_of_pair)
+    if len(kl) == 0 or len(kr) == 0:
+        return out
+    pos = np.searchsorted(kr, kl)
+    ok = pos < len(kr)
+    hit = np.zeros(len(kl), dtype=bool)
+    hit[ok] = kr[pos[ok]] == kl[ok]
+    np.add.at(out, kl[hit] // stride, vl[hit] * vr[pos[hit]])
+    return out
+
+
 def pairwise_dot(a: CSRBatch, b: CSRBatch) -> np.ndarray:
     """Row-aligned sparse dot (operator M3, ``string_grouper.py:433-440``)."""
     if a.n_rows != b.n_rows:

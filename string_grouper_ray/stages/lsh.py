@@ -276,9 +276,14 @@ def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
     keys, salts, rows = keys[order], salts[order], rows[order]
     sides, chunks, diags = sides[order], chunks[order], diags[order]
 
-    combo = keys * np.int64(1000003) + salts  # group id within this bucket
-    boundaries = np.flatnonzero(np.diff(combo)) + 1
-    offsets = np.concatenate([[0], boundaries, [len(combo)]]).astype(np.int64)
+    # group boundaries from BOTH columns directly — a folded scalar key
+    # (key*C + salt) can collide for salts >= C, silently merging two
+    # distinct (band_key, salt) groups
+    if len(keys) > 1:
+        boundaries = np.flatnonzero((np.diff(keys) != 0) | (np.diff(salts) != 0)) + 1
+    else:
+        boundaries = np.empty(0, dtype=np.int64)
+    offsets = np.concatenate([[0], boundaries, [len(keys)]]).astype(np.int64)
 
     out_hash: List[int] = []
     out_l: List[bytes] = []
@@ -345,42 +350,66 @@ class _PairsFromMembersets:
             arrs = [np.frombuffer(b, dtype=np.int64) for b in l_members[same_mask]]
             sarrs = [np.frombuffer(b, dtype=np.int8) for b in l_sides_col[same_mask]]
             sizes = np.array([len(a) for a in arrs], dtype=np.int64)
-            offsets = np.concatenate([[0], np.cumsum(sizes)[:-1]]).astype(np.int64)
-            all_rows = np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
-            all_sides = np.concatenate(sarrs) if sarrs else np.empty(0, dtype=np.int8)
-            if self.star:
-                # members are sorted, so element 0 is the bucket min:
-                # emit (min, other) for every other member
-                li = np.repeat(offsets, sizes - 1)
-                csum = np.cumsum(sizes - 1) - (sizes - 1)
-                within = np.arange(int((sizes - 1).sum()), dtype=np.int64) - np.repeat(
-                    csum, sizes - 1
+
+            def emit_group(sel: np.ndarray, star: bool) -> None:
+                idxs = np.flatnonzero(sel)
+                if not len(idxs):
+                    return
+                g_sizes = sizes[idxs]
+                offsets = np.concatenate([[0], np.cumsum(g_sizes)[:-1]]).astype(np.int64)
+                all_rows = np.concatenate([arrs[i] for i in idxs])
+                all_sides = np.concatenate([sarrs[i] for i in idxs])
+                if star:
+                    # members are sorted, so element 0 is the bucket min:
+                    # (min, other) spanning edges, PLUS a second spanning set
+                    # from the max member — one borderline anchor failing
+                    # verify must not disconnect the whole bucket in every
+                    # band at once (the anchors decorrelate the failures)
+                    csum = np.cumsum(g_sizes - 1) - (g_sizes - 1)
+                    within = np.arange(
+                        int((g_sizes - 1).sum()), dtype=np.int64
+                    ) - np.repeat(csum, g_sizes - 1)
+                    ri = np.repeat(offsets, g_sizes - 1) + 1 + within
+                    li = np.repeat(offsets, g_sizes - 1)
+                    li2 = np.repeat(offsets + g_sizes - 1, g_sizes - 1)
+                    ri2 = np.repeat(offsets, g_sizes - 1) + within
+                    li = np.concatenate([li, li2])
+                    ri = np.concatenate([ri, ri2])
+                else:
+                    li, ri = _segment_pairs(offsets, g_sizes)
+                outs.append(
+                    self._finish(all_rows[li], all_rows[ri], all_sides[li], all_sides[ri])
                 )
-                ri = np.repeat(offsets, sizes - 1) + 1 + within
+
+            if self.star:
+                # small membersets get the full clique: star's single-anchor
+                # edges fail verify together when the anchor is a borderline
+                # member, splitting stable clusters (clique cost at <=16
+                # members is bounded: <=120 pairs)
+                emit_group(sizes <= 16, star=False)
+                emit_group(sizes > 16, star=True)
             else:
-                li, ri = _segment_pairs(offsets, sizes)
-            a, b = all_rows[li], all_rows[ri]
-            sa, sb = all_sides[li], all_sides[ri]
-            outs.append(self._finish(a, b, sa, sb))
+                emit_group(np.ones(len(sizes), dtype=bool), star=False)
         for i in np.flatnonzero(modes == 1):
             lhs = np.frombuffer(l_members[i], dtype=np.int64)
             rhs = np.frombuffer(r_members[i], dtype=np.int64)
             lss = np.frombuffer(l_sides_col[i], dtype=np.int8)
             rss = np.frombuffer(r_sides_col[i], dtype=np.int8)
             if self.star:
-                # span the chunk pair: union's min vs every other member
+                # span the chunk pair: union's min vs every other member,
+                # plus a max-anchored second span (decorrelated failures)
                 allm = np.concatenate([lhs, rhs])
                 alls = np.concatenate([lss, rss])
-                mi = int(np.argmin(allm))
-                sel = np.arange(len(allm)) != mi
-                outs.append(
-                    self._finish(
-                        np.full(sel.sum(), allm[mi], dtype=np.int64),
-                        allm[sel],
-                        np.full(sel.sum(), alls[mi], dtype=np.int8),
-                        alls[sel],
+                for anchor in {int(np.argmin(allm)), int(np.argmax(allm))}:
+                    sel = np.arange(len(allm)) != anchor
+                    outs.append(
+                        self._finish(
+                            np.full(sel.sum(), allm[anchor], dtype=np.int64),
+                            allm[sel],
+                            np.full(sel.sum(), alls[anchor], dtype=np.int8),
+                            alls[sel],
+                        )
                     )
-                )
             else:
                 gi, gj = np.meshgrid(
                     np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
@@ -420,70 +449,138 @@ def _pack_side(t: pa.Table, idx_name: str, vec_name: str) -> pa.Table:
     )
 
 
+def collect_row_csr(
+    vec_ds: "ray.data.Dataset", vocab_size: int, batch_size: int = 8192
+) -> Tuple[np.ndarray, "CSRBatch"]:
+    """Stream a vectorized dataset into one driver-side CSR, rows sorted by
+    ``row_idx``. Fully vectorized via Arrow list kernels — no per-row work.
+
+    This is the broadcast verify state: ~nnz×12 bytes, put in the object
+    store ONCE and read once per verifier actor.
+    """
+    import pyarrow.compute as pc
+
+    from ..sparse import CSRBatch, _gather_positions
+
+    row_parts: List[np.ndarray] = []
+    len_parts: List[np.ndarray] = []
+    term_parts: List[np.ndarray] = []
+    w_parts: List[np.ndarray] = []
+    for batch in vec_ds.select_columns(["row_idx", "term_ids", "term_weights"]).iter_batches(
+        batch_size=batch_size, batch_format="pyarrow"
+    ):
+        row_parts.append(batch["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64))
+        tcol = batch["term_ids"]
+        len_parts.append(
+            pc.list_value_length(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        term_parts.append(
+            pc.list_flatten(tcol).to_numpy(zero_copy_only=False).astype(np.int32)
+        )
+        w_parts.append(
+            pc.list_flatten(batch["term_weights"]).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+    if not row_parts:
+        return np.empty(0, dtype=np.int64), CSRBatch(
+            indptr=np.zeros(1, dtype=np.int64),
+            indices=np.empty(0, dtype=np.int32),
+            data=np.empty(0, dtype=np.float64),
+            n_cols=vocab_size,
+        )
+    rows = np.concatenate(row_parts)
+    lens = np.concatenate(len_parts)
+    terms = np.concatenate(term_parts)
+    ws = np.concatenate(w_parts)
+    order = np.argsort(rows, kind="stable")
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos = _gather_positions(starts[order], lens[order])
+    indptr = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens[order], out=indptr[1:])
+    return rows[order], CSRBatch(
+        indptr=indptr, indices=terms[pos], data=ws[pos], n_cols=vocab_size
+    )
+
+
+def _rows_to_positions(sorted_ids: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(sorted_ids, rows)
+    n = len(sorted_ids)
+    ok = (pos < n) & (sorted_ids[np.minimum(pos, max(n - 1, 0))] == rows)
+    if not bool(ok.all()):
+        raise KeyError(
+            f"verify: candidate pair references rows absent from the "
+            f"vectorized side (e.g. {rows[~ok][:3].tolist()})"
+        )
+    return pos
+
+
 class _VerifyCosineBroadcast:
-    """Exact cosine verify with broadcast vector lookup: the packed-vector
-    dict is fetched once per actor; each pair batch is verified in place."""
+    """Exact cosine verify against broadcast CSR state: row-id lookup is one
+    searchsorted, the dots are one vectorized :func:`~..sparse.pair_dots`
+    call per batch — no per-pair Python (this is the hottest stage of the
+    flagship pipeline)."""
 
     def __init__(self, maps_ref, threshold: float):
-        vec_map, rvec_map = ray.get(maps_ref) if isinstance(maps_ref, ray.ObjectRef) else maps_ref
-        self.l_map = vec_map
-        self.r_map = rvec_map if rvec_map is not None else vec_map
+        l_state, r_state = ray.get(maps_ref) if isinstance(maps_ref, ray.ObjectRef) else maps_ref
+        self.l_ids, self.l_csr = l_state
+        self.r_ids, self.r_csr = r_state if r_state is not None else l_state
         self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.packing import unpack_vector
+        from ..sparse import pair_dots
 
-        l_rows = t["left_idx"].to_numpy(zero_copy_only=False)
-        r_rows = t["right_idx"].to_numpy(zero_copy_only=False)
-        sims = np.empty(len(t), dtype=np.float64)
-        l_map, r_map = self.l_map, self.r_map
-        for i in range(len(t)):
-            ia, va = unpack_vector(l_map[int(l_rows[i])])
-            ib, vb = unpack_vector(r_map[int(r_rows[i])])
-            if len(ia) == 0 or len(ib) == 0:
-                sims[i] = 0.0
-                continue
-            pos = np.searchsorted(ib, ia)
-            ok = pos < len(ib)
-            hit = np.zeros(len(ia), dtype=bool)
-            hit[ok] = ib[pos[ok]] == ia[ok]
-            sims[i] = float(np.dot(va[hit], vb[pos[hit]]))
+        l_rows = t["left_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r_rows = t["right_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = pair_dots(
+            self.l_csr,
+            self.r_csr,
+            _rows_to_positions(self.l_ids, l_rows),
+            _rows_to_positions(self.r_ids, r_rows),
+        )
         keep = sims >= max(self.threshold, 1e-300)
         return pa.table(
             {
-                "left_idx": pa.array(l_rows[keep].astype(np.int64)),
-                "right_idx": pa.array(r_rows[keep].astype(np.int64)),
+                "left_idx": pa.array(l_rows[keep]),
+                "right_idx": pa.array(r_rows[keep]),
                 "similarity": pa.array(sims[keep]),
             }
         )
 
 
 class _VerifyCosine:
-    """Vectorized exact cosine over candidate pairs carrying both vectors
-    (binary-packed by :func:`_pack_side` so the join transport is robust)."""
+    """Exact cosine over candidate pairs carrying both packed vectors
+    (join mode). Unpack is a cheap per-row ``np.frombuffer``; the dots are
+    one vectorized ``pair_dots`` call for the whole batch."""
 
     def __init__(self, threshold: float):
         self.threshold = threshold
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         from ..functions.packing import unpack_vector
+        from ..sparse import CSRBatch, pair_dots
 
-        sims = np.empty(len(batch), dtype=np.float64)
         l_vecs = batch["l_vec"].to_numpy()
         r_vecs = batch["r_vec"].to_numpy()
+        l_ids: List[np.ndarray] = []
+        l_ws: List[np.ndarray] = []
+        r_ids: List[np.ndarray] = []
+        r_ws: List[np.ndarray] = []
+        n_cols = 1
         for i in range(len(batch)):
             ia, va = unpack_vector(l_vecs[i])
             ib, vb = unpack_vector(r_vecs[i])
-            ia = ia.astype(np.int64)
-            ib = ib.astype(np.int64)
-            if len(ia) == 0 or len(ib) == 0:
-                sims[i] = 0.0
-                continue
-            pos = np.searchsorted(ib, ia)
-            ok = pos < len(ib)
-            hit = np.zeros(len(ia), dtype=bool)
-            hit[ok] = ib[pos[ok]] == ia[ok]
-            sims[i] = float(np.dot(va[hit], vb[pos[hit]]))
+            l_ids.append(ia)
+            l_ws.append(va)
+            r_ids.append(ib)
+            r_ws.append(vb)
+            if len(ia):
+                n_cols = max(n_cols, int(ia[-1]) + 1)
+            if len(ib):
+                n_cols = max(n_cols, int(ib[-1]) + 1)
+        l_csr = CSRBatch.from_lists(l_ids, l_ws, n_cols)
+        r_csr = CSRBatch.from_lists(r_ids, r_ws, n_cols)
+        arange = np.arange(len(batch), dtype=np.int64)
+        sims = pair_dots(l_csr, r_csr, arange, arange)
         out = pd.DataFrame(
             {
                 "left_idx": batch["left_idx"].to_numpy(dtype=np.int64),
@@ -686,31 +783,10 @@ def lsh_match_edges(
         )
 
     if use_broadcast:
-        from ..functions.packing import pack_vector
-
-        vec_map: Dict[int, bytes] = {}
-        for batch in _vec_ds(left).iter_batches(batch_size=8192, batch_format="pyarrow"):
-            rows_np = batch["row_idx"].to_numpy(zero_copy_only=False)
-            for rid, ids, ws in zip(
-                rows_np.tolist(), batch["term_ids"].to_pylist(), batch["term_weights"].to_pylist()
-            ):
-                vec_map[rid] = pack_vector(
-                    np.asarray(ids, dtype=np.int32), np.asarray(ws, dtype=np.float64)
-                )
-        if cross:
-            rvec_map: Dict[int, bytes] = {}
-            for batch in _vec_ds(right).iter_batches(batch_size=8192, batch_format="pyarrow"):
-                rows_np = batch["row_idx"].to_numpy(zero_copy_only=False)
-                for rid, ids, ws in zip(
-                    rows_np.tolist(), batch["term_ids"].to_pylist(),
-                    batch["term_weights"].to_pylist(),
-                ):
-                    rvec_map[rid] = pack_vector(
-                        np.asarray(ids, dtype=np.int32), np.asarray(ws, dtype=np.float64)
-                    )
-        else:
-            rvec_map = vec_map
-        maps_ref = ray.put((vec_map, rvec_map if cross else None))
+        vocab_size = ray.get(vocab_ref).size
+        l_state = collect_row_csr(_vec_ds(left), vocab_size)
+        r_state = collect_row_csr(_vec_ds(right), vocab_size) if cross else None
+        maps_ref = ray.put((l_state, r_state))
         verified = stage_map_batches(
             pairs,
             _VerifyCosineBroadcast,

@@ -57,6 +57,30 @@ def test_simhash_dedup():
     assert out["cluster_id"].tolist() == [0, 0, 0, 3]
 
 
+def test_simhash_dedup_hot_bucket_identical_cluster():
+    """A 5k-row identical-text cluster lands every row in the same simhash
+    bucket (way past the old 2000-row guard that silently dropped all pairs);
+    the exact-dup collapse must still fully dedup it."""
+    from string_grouper_ray.pipelines.dedup import simhash_dedup
+
+    texts = ["the very same repeated document text goes here"] * 5000 + [
+        "an unrelated singleton document with different content entirely"
+    ]
+    out = simhash_dedup(_docs(texts), config=CFG).to_pandas().sort_values("doc_id")
+    assert out["cluster_id"].tolist() == [0] * 5000 + [5000]
+    assert int(out["keep"].sum()) == 2
+
+
+def test_popcount64():
+    from string_grouper_ray.pipelines.dedup import _popcount64
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+    got = _popcount64(vals)
+    want = np.array([bin(int(v)).count("1") for v in vals])
+    assert (got == want).all()
+
+
 def test_ngram_jaccard_pairs():
     from string_grouper_ray.pipelines.dedup import ngram_jaccard_pairs
 
