@@ -171,15 +171,16 @@ def knn_lsh(
     planes_ref = ray.put(planes)
 
     qn = _l2_normalize(qmat)
-    wanted = set()
+    wanted_parts = []
     for ti, pl in enumerate(planes):
         bits = (qn @ pl.T) > 0
         bucket = np.zeros(len(qn), dtype=np.int64)
         for b in range(bits.shape[1]):
             bucket = (bucket << 1) | bits[:, b]
-        for bu in bucket.tolist():
-            wanted.add((ti, bu))
-    wanted_ref = ray.put(wanted)
+        wanted_parts.append((np.int64(ti) << np.int64(48)) | bucket)
+    # sorted packed (table_id << 48 | bucket) keys: membership is one
+    # vectorized searchsorted per batch, no per-row Python set test
+    wanted_ref = ray.put(np.unique(np.concatenate(wanted_parts)))
 
     class _Filter:
         def __init__(self, planes_ref, wanted_ref, id_col, vec_col):
@@ -188,16 +189,23 @@ def knn_lsh(
 
         def __call__(self, t: pa.Table) -> pa.Table:
             bt = self.bucketer(t)
-            tab = bt["table_id"].to_numpy(zero_copy_only=False)
+            tab = bt["table_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             buck = bt["bucket"].to_numpy(zero_copy_only=False)
-            ids = bt["vec_id"].to_numpy(zero_copy_only=False)
-            keep_ids = {
-                int(i) for ti, bu, i in zip(tab, buck, ids) if (int(ti), int(bu)) in self.wanted
-            }
-            import pyarrow.compute as pc
-
-            mask = pc.is_in(t["vec_id"], value_set=pa.array(sorted(keep_ids), type=pa.int64()))
-            return t.filter(mask)
+            ids = bt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = (tab << np.int64(48)) | buck
+            n = len(self.wanted)
+            if n == 0 or len(keys) == 0:
+                return t.filter(pa.array(np.zeros(len(t), dtype=bool)))
+            pos = np.searchsorted(self.wanted, keys)
+            hit = (pos < n) & (self.wanted[np.minimum(pos, n - 1)] == keys)
+            keep_ids = np.unique(ids[hit])
+            rows = t[self.bucketer.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(keep_ids):
+                return t.filter(pa.array(np.zeros(len(rows), dtype=bool)))
+            rpos = np.searchsorted(keep_ids, rows)
+            m = len(keep_ids)
+            mask = (rpos < m) & (keep_ids[np.minimum(rpos, m - 1)] == rows)
+            return t.filter(pa.array(mask))
 
     candidates = stage_map_batches(
         ds, _Filter, (planes_ref, wanted_ref, id_col, vec_col), config,
@@ -206,28 +214,83 @@ def knn_lsh(
     return knn_brute_force(candidates, queries, k, id_col, vec_col, config)
 
 
-class _NearDupPairs:
-    def __init__(self, all_ref, threshold: float, id_col: str, vec_col: str):
-        ids, mat = ray.get(all_ref) if isinstance(all_ref, ray.ObjectRef) else all_ref
-        self.all_ids = ids
-        self.all_mat = _l2_normalize(mat)
+def _collect_embedding_chunks(
+    ds: "ray.data.Dataset", id_col: str, vec_col: str, chunk_rows: int
+):
+    """Stream the corpus into bounded (ids, L2-normalized matrix) chunks,
+    each ``ray.put`` once. The driver holds one chunk at a time — never the
+    whole corpus."""
+    refs = []
+    buf_ids, buf_mats, buffered = [], [], 0
+
+    def flush():
+        nonlocal buf_ids, buf_mats, buffered
+        if not buffered:
+            return
+        ids = np.concatenate(buf_ids)
+        mat = _l2_normalize(np.vstack(buf_mats))
+        refs.append(ray.put((ids, mat)))
+        buf_ids, buf_mats, buffered = [], [], 0
+
+    for batch in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        buf_ids.append(batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        buf_mats.append(_mat_from_batch(batch, vec_col))
+        buffered += len(batch)
+        if buffered >= chunk_rows:
+            flush()
+    flush()
+    return refs
+
+
+class _ChunkPairNearDup:
+    """One task per corpus chunk pair (i ≤ j): dense slabbed product of two
+    object-store chunks, emitting pairs ≥ threshold. Memory per task is two
+    chunks plus one bounded slab of the similarity matrix."""
+
+    def __init__(self, refs, threshold: float, dense_budget: int = 8_000_000):
+        self.refs = refs
         self.threshold = threshold
-        self.id_col = id_col
-        self.vec_col = vec_col
+        self.dense_budget = dense_budget
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        mat = _l2_normalize(_mat_from_batch(t, self.vec_col))
-        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = mat @ self.all_mat.T
-        li, ri = np.nonzero(sims >= self.threshold)
-        a = ids[li]
-        b = self.all_ids[ri]
-        keep = a < b  # canonical, no diagonal
+        out_l, out_r, out_s = [], [], []
+        for ci, cj in zip(t["i"].to_pylist(), t["j"].to_pylist()):
+            ids_i, mat_i = ray.get(self.refs[ci])
+            ids_j, mat_j = ray.get(self.refs[cj])
+            slab = max(1, self.dense_budget // max(1, len(ids_j)))
+            for s0 in range(0, len(ids_i), slab):
+                s1 = min(s0 + slab, len(ids_i))
+                sims = mat_i[s0:s1] @ mat_j.T
+                li, ri = np.nonzero(sims >= self.threshold)
+                if not len(li):
+                    continue
+                a, b = ids_i[s0:s1][li], ids_j[ri]
+                s = sims[li, ri]
+                if ci == cj:
+                    # same chunk: both orientations appear — keep a < b only
+                    # (also drops the diagonal)
+                    m = a < b
+                    lo, hi, s = a[m], b[m], s[m]
+                else:
+                    lo, hi = np.minimum(a, b), np.maximum(a, b)
+                out_l.append(lo)
+                out_r.append(hi)
+                out_s.append(s)
+        if not out_l:
+            return pa.table(
+                {
+                    "left_id": pa.array([], type=pa.int64()),
+                    "right_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "left_id": pa.array(a[keep]),
-                "right_id": pa.array(b[keep]),
-                "cosine": pa.array(sims[li, ri][keep].astype(np.float64)),
+                "left_id": pa.array(np.concatenate(out_l)),
+                "right_id": pa.array(np.concatenate(out_r)),
+                "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
             }
         )
 
@@ -238,16 +301,145 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     config: Optional[EngineConfig] = None,
+    method: str = "exact",
+    chunk_rows: int = 16384,
+    n_tables: int = 8,
+    n_bits: int = 12,
+    seed: int = 42,
 ) -> "ray.data.Dataset":
-    """All pairs with cosine ≥ threshold. The corpus matrix is broadcast
-    once (works to ~1e6 rows × small dim); beyond that use the hyperplane
-    buckets of :func:`knn_lsh` to restrict comparisons."""
+    """All pairs with embedding cosine ≥ threshold.
+
+    * ``method="exact"`` — distributed blocked matmul: the corpus streams
+      into bounded object-store chunks; one Ray task per chunk pair computes
+      a slabbed dense product. No driver-side corpus materialization, memory
+      bounded by two chunks per task. Compute is inherently O(n²/2) — that's
+      what an exact all-pairs join at arbitrary threshold means.
+    * ``method="lsh"`` — the 1e9-row path for genuine near-dup thresholds
+      (≥ ~0.8): hyperplane (SimHash) bucketing over ``n_tables``
+      independent tables, per-bucket candidate pairs (salted hot buckets,
+      memberset dedup — the same machinery as the text LSH path), then an
+      exact-cosine verify join. Approximate recall, measured in tests.
+    """
     config = config or EngineConfig()
-    df = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids = df[id_col].to_numpy(dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in df[vec_col]])
-    all_ref = ray.put((ids, mat))
-    return stage_map_batches(
-        ds, _NearDupPairs, (all_ref, threshold, id_col, vec_col), config,
+    if method == "exact":
+        refs = _collect_embedding_chunks(ds, id_col, vec_col, chunk_rows)
+        n = len(refs)
+        pairs = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
+        if not pairs:
+            return ray.data.from_arrow(
+                pa.schema(
+                    [("left_id", pa.int64()), ("right_id", pa.int64()),
+                     ("cosine", pa.float64())]
+                ).empty_table()
+            )
+        pair_ds = ray.data.from_items(pairs)
+        return stage_map_batches(
+            pair_ds, _ChunkPairNearDup, (refs, threshold), config,
+            batch_format="pyarrow", batch_size=1,
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+    return _near_dup_pairs_lsh(
+        ds, threshold, id_col, vec_col, config, n_tables, n_bits, seed
+    )
+
+
+def _near_dup_pairs_lsh(
+    ds: "ray.data.Dataset",
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    config: EngineConfig,
+    n_tables: int,
+    n_bits: int,
+    seed: int,
+) -> "ray.data.Dataset":
+    """Hyperplane-bucketed candidate pairs + exact cosine verify join."""
+    from ..functions.grouped import bucketed_group_map, dedup_pairs
+    from ..functions.joins import shuffle_join
+    from ..stages.lsh import _SaltHotBuckets, emit_pairs_bucket
+
+    probe = ds.take(1)
+    dim = len(probe[0][vec_col]) if probe else 0
+    planes = make_hyperplanes(dim, n_tables, n_bits, seed)
+    planes_ref = ray.put(planes)
+
+    def to_band_rows(t: pa.Table) -> pa.Table:
+        bt = _HyperplaneBucket(planes_ref, id_col, vec_col)(t)
+        # pack (table_id, bucket) into one int64 band key (bucket < 2^n_bits)
+        tab = bt["table_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buck = bt["bucket"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_key": pa.array((tab << np.int64(48)) | buck),
+                "row_idx": bt["vec_id"],
+                "side": pa.array(np.zeros(len(tab), dtype=np.int8)),
+            }
+        )
+
+    banded = ds.map_batches(to_band_rows, batch_format="pyarrow").materialize()
+    from ..functions.grouped import groupby_agg
+
+    counts = groupby_agg(banded, "band_key", None, "count", num_buckets=64)
+    import pyarrow.compute as pc
+
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], config.max_bucket_size)),
+        batch_format="pyarrow",
+    ).take_all()
+    hot = {
+        int(r["band_key"]): int(-(-r["count()"] // config.max_bucket_size))
+        for r in hot_rows
+    }
+    salted = stage_map_batches(
+        banded, _SaltHotBuckets, (ray.put(hot), config.max_bucket_size), config,
         batch_format="pyarrow", batch_size=config.batch_size,
     )
+    pairs = bucketed_group_map(
+        salted, ["band_key", "salt"], lambda df: emit_pairs_bucket(df, False)
+    )
+    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
+
+    packed = ds.select_columns([id_col, vec_col]).map_batches(
+        lambda t: pa.table(
+            {
+                "v_idx": t[id_col].cast(pa.int64()),
+                "vec": pa.array(
+                    [m.tobytes() for m in _l2_normalize(_mat_from_batch(t, vec_col))],
+                    type=pa.binary(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    rpacked = packed.map_batches(
+        lambda t: t.rename_columns(["w_idx", "rvec"]), batch_format="pyarrow"
+    )
+    pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
+    lsch = pa.schema([("v_idx", pa.int64()), ("vec", pa.binary())])
+    rsch = pa.schema([("w_idx", pa.int64()), ("rvec", pa.binary())])
+    withl = shuffle_join(pairs, packed, on="left_idx", right_on="v_idx", how="inner",
+                         left_schema=pair_schema, right_schema=lsch)
+    withlr = shuffle_join(
+        withl, rpacked, on="right_idx", right_on="w_idx", how="inner",
+        left_schema=pa.schema(list(pair_schema) + [pa.field("v_idx", pa.int64()),
+                                                   pa.field("vec", pa.binary())]),
+        right_schema=rsch,
+    )
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lv = np.vstack([np.frombuffer(b, dtype=np.float64) for b in batch["vec"]]) \
+            if len(batch) else np.zeros((0, 1))
+        rv = np.vstack([np.frombuffer(b, dtype=np.float64) for b in batch["rvec"]]) \
+            if len(batch) else np.zeros((0, 1))
+        cos = np.einsum("ij,ij->i", lv, rv) if len(batch) else np.empty(0)
+        out = pd.DataFrame(
+            {
+                "left_id": batch["left_idx"].to_numpy(dtype=np.int64),
+                "right_id": batch["right_idx"].to_numpy(dtype=np.int64),
+                "cosine": cos,
+            }
+        )
+        return out[out["cosine"] >= threshold]
+
+    return withlr.map_batches(verify, batch_format="pandas", batch_size=65536)

@@ -346,90 +346,193 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     ngram_size: int = 3,
     config: Optional[EngineConfig] = None,
+    max_gram_docs: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard self-join: pairs with
     |shared distinct n-grams| / |union| ≥ threshold.
 
-    Shuffle key = the literal n-gram (hot grams bounded by a per-gram cap is
-    NOT applied — this operator is exact and meant for bounded domains like
-    names; use minhash_dedup for web-scale text). n-grams here are raw
-    character substrings of the ORIGINAL text (no normalization), so the
-    DuckDB oracle is a direct substring expression.
+    Scale shape: the shuffle key is the FNV-64 of the n-gram; per-doc sizes
+    are a distributed pre-aggregated count carried to the pairs by two
+    bucketed shuffle joins (never a driver-side dict); hot grams are salted
+    into chunk-pair sub-buckets (same skew machinery as the text LSH path)
+    so no single task is quadratic in a stop-gram's posting list. Total
+    emitted-pair volume is still Σ C(posting, 2) — inherent to an exact
+    Jaccard join; pass ``max_gram_docs`` to drop grams with longer postings
+    (every drop is logged with its posting size) or use ``minhash_dedup``
+    for web-scale text. n-grams are raw character substrings of the
+    ORIGINAL text (no normalization), so the DuckDB oracle is a direct
+    substring expression. Gram identity is its 64-bit FNV hash; a collision
+    (P ≈ D²/2⁶⁴ for D distinct grams) would overcount one intersection.
     """
     config = config or EngineConfig()
+    from ..functions.grouped import bucketed_group_map, groupby_agg
+    from ..functions.joins import shuffle_join
+    from ..stages.lsh import _SaltHotBuckets, _emit_pairs, _segment_pairs
 
     class _ExplodeGrams:
         def __init__(self, n: int):
             self.n = n
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            from ..text import fnv1a_64_batch
+
             ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            out_id, out_g, counts = [], [], []
+            out_id, out_g = [], []
             for i, s in enumerate(t[text_col].to_pylist()):
                 grams = {s[j : j + self.n] for j in range(len(s) - self.n + 1)}
-                counts.append(len(grams))
                 out_id.extend([ids[i]] * len(grams))
                 out_g.extend(grams)
+            gkeys = fnv1a_64_batch(out_g).astype(np.int64)
             return pa.table(
                 {
-                    "doc": pa.array(out_id, type=pa.int64()),
-                    "gram": pa.array(out_g, type=pa.string()),
+                    "band_key": pa.array(gkeys, type=pa.int64()),
+                    "row_idx": pa.array(out_id, type=pa.int64()),
+                    "side": pa.array(np.zeros(len(out_id), dtype=np.int8)),
                 }
             )
 
     grams = stage_map_batches(ds, _ExplodeGrams, (ngram_size,), config,
                               batch_format="pyarrow", batch_size=config.batch_size)
     grams = grams.materialize()
-    # per-doc distinct gram counts (for the union term)
-    doc_sizes = grams.groupby("doc").count().to_pandas()
-    sizes = dict(zip(doc_sizes["doc"].astype(np.int64), doc_sizes["count()"].astype(np.int64)))
-    sizes_ref = ray.put(sizes)
+    # per-doc distinct-gram counts (the union term): distributed, joined later
+    sizes = groupby_agg(grams, "row_idx", None, "count", out_col="sz").map_batches(
+        lambda t: pa.table({"doc": t["row_idx"], "sz": t["sz"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by both size joins
 
-    def pairs_for_gram(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(g["doc"].to_numpy(dtype=np.int64))
-        if len(docs) < 2:
-            return pd.DataFrame({"left_idx": np.empty(0, np.int64),
-                                 "right_idx": np.empty(0, np.int64)})
-        li, ri = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame({"left_idx": docs[li], "right_idx": docs[ri]})
+    # gram census → optional logged cap + salt map for hot grams
+    counts = groupby_agg(grams, "band_key", None, "count", num_buckets=64)
+    import pyarrow.compute as pc
 
-    from ..functions.grouped import bucketed_group_map
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], config.max_bucket_size)),
+        batch_format="pyarrow",
+    ).take_all()
+    dropped: list = []
+    hot = {}
+    for r in hot_rows:
+        k, c = int(r["band_key"]), int(r["count()"])
+        if max_gram_docs is not None and c > max_gram_docs:
+            dropped.append((k, c))
+        else:
+            hot[k] = -(-c // config.max_bucket_size)
+    if dropped:
+        import logging
 
-    def gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [pairs_for_gram(g) for _, g in df.groupby("gram", sort=False)]
+        logging.getLogger(__name__).warning(
+            "ngram_jaccard_pairs: dropping %d grams with postings > %d "
+            "(largest: %d docs) — intersections through them are lost",
+            len(dropped), max_gram_docs, max(c for _, c in dropped),
+        )
+        drop_keys = np.sort(np.array([k for k, _ in dropped], dtype=np.int64))
+        drop_ref = ray.put(drop_keys)
+
+        def drop_hot(t: pa.Table) -> pa.Table:
+            dk = ray.get(drop_ref) if isinstance(drop_ref, ray.ObjectRef) else drop_ref
+            keys = t["band_key"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(dk, keys)
+            n = len(dk)
+            is_dropped = (pos < n) & (dk[np.minimum(pos, n - 1)] == keys)
+            return t.filter(pa.array(~is_dropped))
+
+        grams = grams.map_batches(drop_hot, batch_format="pyarrow")
+
+    salted = stage_map_batches(
+        grams, _SaltHotBuckets, (ray.put(hot), config.max_bucket_size), config,
+        batch_format="pyarrow", batch_size=config.batch_size,
+    )
+
+    def emit_multi(df: pd.DataFrame) -> pd.DataFrame:
+        """Pairs per (gram, salt) group, KEEPING cross-gram multiplicity
+        (the per-pair count is the intersection size)."""
+        keys = df["band_key"].to_numpy(dtype=np.int64)
+        salts = df["salt"].to_numpy(dtype=np.int64)
+        rows = df["row_idx"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rows, salts, keys))
+        keys, salts, rows = keys[order], salts[order], rows[order]
+        outs = []
+        plain = salts == 0
+        if plain.any():
+            pk, pr = keys[plain], rows[plain]
+            boundaries = np.flatnonzero(np.diff(pk)) + 1
+            offsets = np.concatenate([[0], boundaries]).astype(np.int64)
+            sizes_ = np.diff(np.concatenate([offsets, [len(pk)]])).astype(np.int64)
+            li, ri = _segment_pairs(offsets, sizes_)
+            a, b = pr[li], pr[ri]
+            outs.append(pd.DataFrame({"left_idx": np.minimum(a, b),
+                                      "right_idx": np.maximum(a, b)}))
+        if (~plain).any():
+            sdf = pd.DataFrame(
+                {
+                    "band_key": keys[~plain],
+                    "salt": salts[~plain],
+                    "row_idx": rows[~plain],
+                    "side": df["side"].to_numpy()[order][~plain],
+                    "chunk": df["chunk"].to_numpy()[order][~plain],
+                    "diag_sub": df["diag_sub"].to_numpy()[order][~plain],
+                }
+            )
+            outs.extend(
+                _emit_pairs(g, False)
+                for _, g in sdf.groupby(["band_key", "salt"], sort=False)
+            )
         if not outs:
             return pd.DataFrame({"left_idx": np.empty(0, np.int64),
                                  "right_idx": np.empty(0, np.int64)})
-        return pd.concat(outs, ignore_index=True)
+        return pd.concat(outs, ignore_index=True)  # NO dedup: multiplicity matters
 
-    shared = bucketed_group_map(grams, ["gram"], gram_bucket)
-    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["left_idx", "right_idx"], sort=False).size().reset_index(name="count()")
-        return out
+    shared = bucketed_group_map(salted, ["band_key", "salt"], emit_multi)
 
-    shared_counts = bucketed_group_map(shared, ["left_idx", "right_idx"], count_pairs)
+    # per-pair intersection counts: map-side partial count, bucketed combine
+    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["left_idx", "right_idx"], sort=False).size().reset_index(name="n")
 
-    class _Jaccard:
-        def __init__(self, sizes_ref, threshold):
-            self.sizes = ray.get(sizes_ref) if isinstance(sizes_ref, ray.ObjectRef) else sizes_ref
-            self.threshold = threshold
+    def combine_count(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["left_idx", "right_idx"], sort=False, as_index=False)["n"].sum()
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            l = t["left_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-            r = t["right_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-            inter = t["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
-            la = np.array([self.sizes.get(int(x), 0) for x in l], dtype=np.float64)
-            ra = np.array([self.sizes.get(int(x), 0) for x in r], dtype=np.float64)
-            union = la + ra - inter
-            jac = np.where(union > 0, inter / union, 0.0)
-            keep = jac >= self.threshold
-            return pa.table(
-                {
-                    "left_id": pa.array(l[keep]),
-                    "right_id": pa.array(r[keep]),
-                    "jaccard": pa.array(jac[keep]),
-                }
-            )
+    shared_counts = bucketed_group_map(
+        shared.map_batches(partial_count, batch_format="pandas"),
+        ["left_idx", "right_idx"],
+        combine_count,
+    )
 
-    return stage_map_batches(shared_counts, _Jaccard, (sizes_ref, threshold), config,
-                             batch_format="pyarrow")
+    # carry both docs' sizes to the pair via two bucketed shuffle joins
+    cnt_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64()),
+                            ("n", pa.int64())])
+    sz_schema = pa.schema([("doc", pa.int64()), ("sz", pa.int64())])
+    withl = shuffle_join(shared_counts, sizes, on="left_idx", right_on="doc",
+                         how="inner", left_schema=cnt_schema, right_schema=sz_schema)
+    withl = withl.map_batches(
+        lambda t: pa.table({"left_idx": t["left_idx"], "right_idx": t["right_idx"],
+                            "n": t["n"], "l_sz": t["sz"]}),
+        batch_format="pyarrow",
+    )
+    withlr = shuffle_join(
+        withl, sizes.map_batches(lambda t: t.rename_columns(["doc2", "sz2"]),
+                                 batch_format="pyarrow"),
+        on="right_idx", right_on="doc2", how="inner",
+        left_schema=pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64()),
+                               ("n", pa.int64()), ("l_sz", pa.int64())]),
+        right_schema=pa.schema([("doc2", pa.int64()), ("sz2", pa.int64())]),
+    )
+
+    def jaccard(t: pa.Table) -> pa.Table:
+        l = t["left_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t["right_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        inter = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (
+            t["l_sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+            + t["sz2"].to_numpy(zero_copy_only=False).astype(np.float64)
+            - inter
+        )
+        jac = np.where(union > 0, inter / union, 0.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "left_id": pa.array(l[keep]),
+                "right_id": pa.array(r[keep]),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return withlr.map_batches(jaccard, batch_format="pyarrow")

@@ -91,6 +91,50 @@ def test_ngram_jaccard_pairs():
     assert (0, 3) not in got and (1, 3) not in got
 
 
+def test_ngram_jaccard_hot_gram_salting_exact():
+    """A gram shared by >max_bucket_size docs goes through the salted
+    chunk-pair path; the result must equal the brute-force Jaccard."""
+    from string_grouper_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    # 30 docs all share "zzz"; pairs within the same suffix letter are
+    # near-identical, across are not
+    texts = [f"zzz{c}{c}{c}" for c in "abcde" for _ in range(6)]
+    cfg = EngineConfig(use_actor_pools=False, max_bucket_size=8)  # force salting
+    out = ngram_jaccard_pairs(_docs(texts), threshold=0.3, config=cfg).to_pandas()
+    got = {(l, r): j for l, r, j in zip(out["left_id"], out["right_id"], out["jaccard"])}
+
+    def grams(s):
+        return {s[i : i + 3] for i in range(len(s) - 2)}
+
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            gi, gj = grams(texts[i]), grams(texts[j])
+            jac = len(gi & gj) / len(gi | gj)
+            if jac >= 0.3:
+                want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_ngram_jaccard_max_gram_docs_cap():
+    """Grams with postings above the cap are dropped (and logged), removing
+    only the intersections that flow through them."""
+    from string_grouper_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    texts = ["commonAAA", "commonBBB", "commonCCC", "xyzqAAAw1", "xyzqAAAw2"]
+    cfg = EngineConfig(use_actor_pools=False, max_bucket_size=2)
+    out = ngram_jaccard_pairs(
+        _docs(texts), threshold=0.05, config=cfg, max_gram_docs=2
+    ).to_pandas()
+    got = set(zip(out["left_id"], out["right_id"]))
+    # "common" grams appear in 3 docs (> cap) → dropped; 0-1, 0-2, 1-2 gone
+    assert (0, 1) not in got and (0, 2) not in got and (1, 2) not in got
+    # the AAA-family pair flows through grams with postings <= 2 → kept
+    assert (3, 4) in got
+
+
 def test_knn_brute_force_and_lsh_recall():
     from string_grouper_ray.pipelines.ann import knn_brute_force, knn_lsh
 
@@ -131,6 +175,58 @@ def test_embedding_near_dup():
     )
     out = embedding_near_dup_pairs(ray.data.from_arrow(table), threshold=0.99, config=CFG).to_pandas()
     assert set(zip(out["left_id"], out["right_id"])) == {(0, 1)}
+
+
+def test_embedding_near_dup_exact_chunked_matches_single_chunk():
+    """The chunk-pair exact path must emit the same pairs regardless of
+    chunking (multi-chunk covers the cross-chunk orientation logic)."""
+    from string_grouper_ray.pipelines.ann import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(120, 8))
+    base[40] = base[7] + rng.normal(scale=1e-3, size=8)   # one near-dup pair
+    base[99] = base[55] + rng.normal(scale=1e-3, size=8)  # another
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(120, dtype=np.int64)),
+            "embedding": pa.array([x.tolist() for x in base], type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    one = embedding_near_dup_pairs(ds, threshold=0.9, config=CFG, chunk_rows=10_000).to_pandas()
+    many = embedding_near_dup_pairs(ds, threshold=0.9, config=CFG, chunk_rows=16).to_pandas()
+    key = lambda df: set(zip(df["left_id"], df["right_id"]))
+    assert key(one) == key(many)
+    assert {(7, 40), (55, 99)} <= key(one)
+
+
+def test_embedding_near_dup_lsh_recall():
+    """The LSH method must find high-cosine pairs (recall vs exact) without
+    any driver-side corpus materialization."""
+    from string_grouper_ray.pipelines.ann import embedding_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(300, 16))
+    for i in range(0, 60, 2):  # 30 planted near-dup pairs
+        base[i + 1] = base[i] + rng.normal(scale=1e-2, size=16)
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array([x.tolist() for x in base], type=pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    exact = embedding_near_dup_pairs(ds, threshold=0.98, config=CFG).to_pandas()
+    lsh = embedding_near_dup_pairs(
+        ds, threshold=0.98, config=CFG, method="lsh", n_tables=8, n_bits=8
+    ).to_pandas()
+    key = lambda df: set(zip(df["left_id"], df["right_id"]))
+    got, want = key(lsh), key(exact)
+    assert got <= want  # exact verify: no false positives
+    assert len(got & want) / max(len(want), 1) >= 0.9
+    # cosines on surviving pairs are exact
+    mg = lsh.merge(exact, on=["left_id", "right_id"], suffixes=("_l", "_e"))
+    assert np.allclose(mg["cosine_l"], mg["cosine_e"], atol=1e-12)
 
 
 def test_textstats_columns():
