@@ -187,9 +187,30 @@ def _q_pairwise_part(sf_dir: str):
 
 
 def _q_containment_part(sf_dir: str):
+    """Prefix-containment pass over part names UNION deterministic
+    truncations (every 10th part, first ceil(0.7·len) chars) — the base
+    table has no prefix dupes, so the truncations make the oracle assert
+    real containment edges instead of 0 == 0."""
     from string_grouper_ray.stages.suffixstage import containment_edges
 
     ds = _docs_ds(sf_dir, "part", "p_partkey", "p_name")
+
+    def with_truncations(t: pa.Table) -> pa.Table:
+        ids = t["row_idx"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        add_ids, add_txt = [], []
+        for i, s in zip(ids.tolist(), texts):
+            if i % 10 == 0:
+                add_ids.append(i + 1_000_000)
+                add_txt.append(s[: (7 * len(s) + 9) // 10])
+        return pa.table(
+            {
+                "row_idx": pa.array(list(ids) + add_ids, type=pa.int64()),
+                "text": pa.array(texts + add_txt, type=pa.string()),
+            }
+        )
+
+    ds = ds.map_batches(with_truncations, batch_format="pyarrow")
     out = containment_edges(ds, _cfg(), "text", min_len=6)
     df = out.to_pandas()
     # stable schema even when no containment pairs exist
@@ -572,13 +593,20 @@ FROM part p LEFT JOIN dots d ON p.p_partkey = d.id
 """
 
     containment_sql = r"""
-WITH docs AS (
-    SELECT p_partkey AS id,
-           regexp_replace(lower(p_name), '[,-./\s]', '', 'g') AS s FROM part
+WITH docs0 AS (
+    SELECT p_partkey AS id, p_name AS t FROM part
+    UNION ALL
+    SELECT p_partkey + 1000000 AS id,
+           substring(p_name, 1, CAST(ceil(0.7 * length(p_name)) AS INTEGER)) AS t
+    FROM part WHERE p_partkey % 10 = 0
+),
+docs AS (
+    SELECT id, regexp_replace(lower(t), '[,-./\s]', '', 'g') AS s FROM docs0
 )
 SELECT DISTINCT least(a.id, b.id) AS left_id, greatest(a.id, b.id) AS right_id
 FROM docs a JOIN docs b
-  ON starts_with(b.s, a.s) AND length(b.s) > length(a.s) AND length(a.s) >= 6
+  ON a.id <> b.id
+ AND starts_with(b.s, a.s) AND length(b.s) > length(a.s) AND length(a.s) >= 6
  AND length(a.s) >= 0.6 * length(b.s)
 """
 

@@ -72,8 +72,11 @@ def dedup_clip_table(
     config = config or EngineConfig()
     ckpt = CheckpointManager(config.checkpoint_dir, config)
 
+    from ..sources.io import read_table
+
     # prune at the read: only the narrow columns enter the match path
-    narrow = ray.data.read_parquet(input_path, columns=[id_col, text_col])
+    # (read_table = the Lance-or-Parquet storage seam, sources/io.py)
+    narrow = read_table(input_path, columns=[id_col, text_col])
     n = narrow.count()
     narrow = add_row_idx(narrow, n).map_batches(
         lambda t: pa.table(
@@ -148,8 +151,8 @@ def dedup_clip_table(
         out = assign
     else:
         # the ONE join that moves the audio payload
-        full = ray.data.read_parquet(input_path)
-        full_schema = ray.data.read_parquet(input_path).schema()
+        full = read_table(input_path)
+        full_schema = full.schema()
         out = shuffle_join(
             full, assign, on=id_col, right_on="clip_id", how="left",
             left_schema=full_schema,
@@ -160,6 +163,8 @@ def dedup_clip_table(
             num_buckets=64,
         )
     if output_path:
-        out.write_parquet(output_path)
-        return ray.data.read_parquet(output_path)
+        from ..sources.io import write_table
+
+        write_table(out, output_path)
+        return read_table(output_path)
     return out

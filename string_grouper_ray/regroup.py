@@ -37,13 +37,43 @@ def _get_column(col, data: pd.DataFrame):
     raise TypeError(f"invalid column selector: {col!r}")
 
 
-def parse_timestamps(timestamps: pd.Series) -> pd.Series:
+def is_date(string: str, parserinfo=None, **kwargs) -> bool:
+    """Whether ``string`` parses as a date (reference ``is_date``,
+    string_grouper_utils.py:157-171). ``parserinfo``/kwargs are forwarded to
+    ``dateutil.parser.parse``."""
+    from dateutil.parser import parse
+
+    try:
+        parse(string, parserinfo, **kwargs)
+        return True
+    except (ValueError, OverflowError):
+        return False
+
+
+def parse_timestamps(timestamps: pd.Series, parserinfo=None, **kwargs) -> pd.Series:
     """str/Timestamp/datetime/Number → comparable weights (UTC for times).
 
-    Mirrors ``parse_timestamps`` (string_grouper_utils.py:139-155) using
-    pandas parsing (dateutil is what pandas wraps).
+    Mirrors ``parse_timestamps`` (string_grouper_utils.py:139-155).
+    Without ``parserinfo``/kwargs the string path is vectorized pandas
+    parsing (which wraps dateutil); with them it matches the reference
+    per-element ``dateutil.parser.parse(x, parserinfo, **kwargs)`` exactly,
+    gated by the same ``is_date`` probe.
     """
     if timestamps.map(lambda x: isinstance(x, str)).all():
+        if parserinfo is not None or kwargs:
+            from datetime import timezone
+
+            from dateutil.parser import parse
+
+            if not timestamps.map(lambda s: is_date(s, parserinfo, **kwargs)).all():
+                raise ValueError(
+                    "timestamps must be a Series of date-like or datetime-like "
+                    "strings or datetime datatype or pandas Timestamp datatype "
+                    "or numbers"
+                )
+            return timestamps.transform(
+                lambda x: parse(x, parserinfo, **kwargs).astimezone(timezone.utc)
+            )
         parsed = pd.to_datetime(timestamps, utc=True, format="mixed")
         if parsed.isna().any():
             raise ValueError(
@@ -97,7 +127,8 @@ def new_group_rep_by_earliest_timestamp(
     record_id_col,
     timestamps,
     record_name_col=None,
-    **_kwargs,
+    parserinfo=None,
+    **kwargs,
 ):
     if isinstance(timestamps, pd.Series):
         if len(grouped_data) != len(timestamps):
@@ -106,7 +137,7 @@ def new_group_rep_by_earliest_timestamp(
             )
     else:
         timestamps = _get_column(timestamps, grouped_data)
-    weights = parse_timestamps(timestamps)
+    weights = parse_timestamps(timestamps, parserinfo, **kwargs)
     return _group_rep_transform(True, weights, grouped_data, group_col, record_id_col, record_name_col)
 
 

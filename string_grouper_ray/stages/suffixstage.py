@@ -6,23 +6,23 @@ contained in a long one shares all its shingles, but Jaccard (and char
 tf-idf cosine) drops with the length ratio, so truncations can fall below
 the similarity threshold while still being duplicates.
 
-Distributed formulation (no global suffix array is materialized):
+Distributed formulation (no global suffix array, no global sort):
 
 1. normalize transcripts (same normalizer as the match path, M1),
-2. global ``Dataset.sort`` on the normalized string — in sorted order all
-   strings having prefix ``x`` form a contiguous range immediately after
-   ``x`` itself,
-3. a per-block sorted scan with a prefix stack emits (contained ⊑
-   container) edges with similarity 1.0,
-4. a boundary-strip pass (last/first ``strip_width`` rows of adjacent
-   blocks, collected — a few hundred rows per block boundary) catches
-   ranges that cross block boundaries.
+2. drop strings shorter than ``min_len`` (they can neither be an eligible
+   contained prefix nor contain one),
+3. hash-partition on the FIRST ``min_len`` NORMALIZED CHARS — any
+   containment pair (p ⊑ s, |p| ≥ min_len) shares that prefix, so both
+   endpoints land in the same bucket BY CONSTRUCTION,
+4. per-bucket lexicographic sort + prefix-stack scan emits
+   (contained ⊑ container) edges with similarity 1.0.
 
-Caveat (documented): this catches PREFIX containment exactly — the
-generator's truncation duplicates (FIXTURES.md F6). Mid-string substring
-containment is left to the shingle-overlap candidates of the LSH path; a
-prefix range longer than ``strip_width`` spanning 3+ blocks may lose its
-cross-block edges (bounded by repartitioning before the scan).
+This is exact for prefix containment at any scale — it replaces an earlier
+global-sort + boundary-strip design whose prefix ranges spanning 3+ sorted
+blocks could lose cross-block edges. Mid-string substring containment is
+left to the shingle-overlap candidates of the LSH path. Skew: a hot prefix
+concentrates its group in one task; the scan there is O(k log k + output),
+and the key can be lengthened via ``min_len`` if one prefix dominates.
 """
 
 from __future__ import annotations
@@ -84,70 +84,47 @@ def _prefix_scan(
     )
 
 
-class _BlockScan:
-    def __init__(self, min_len: int):
-        self.min_len = min_len
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        norms = t["norm"].to_pylist()
-        rows = t["row_idx"].to_pylist()
-        df = _prefix_scan(norms, rows, self.min_len)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-
 def containment_edges(
     ds: "ray.data.Dataset",
     config: Optional[EngineConfig] = None,
     text_col: str = "text",
     min_len: int = 6,
-    strip_width: int = 100,
 ) -> "ray.data.Dataset":
     """Edges (left_idx, right_idx, similarity=1.0) for prefix containments.
 
-    ``min_len`` ignores trivially-short prefixes (noise floor).
+    ``min_len`` ignores trivially-short prefixes (noise floor) and doubles
+    as the co-location key length (see module docstring).
     """
     config = config or EngineConfig()
+    from ..functions.grouped import bucketed_group_map
     from ..functions.stagemap import stage_map_batches
 
     norm = stage_map_batches(
         ds, _Normalize, (config, text_col), config,
         batch_format="pyarrow", batch_size=config.batch_size,
     )
-    sorted_ds = norm.sort("norm").materialize()
 
-    in_block = stage_map_batches(
-        sorted_ds, _BlockScan, (min_len,), config,
-        batch_format="pyarrow", batch_size=None,
-    )
+    def add_prefix_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    # boundary strips: head/tail of each block, scanned together on the driver
-    def strip(t: pa.Table) -> pa.Table:
-        n = len(t)
-        if n <= 2 * strip_width:
-            return t
-        head = t.slice(0, strip_width)
-        tail = t.slice(n - strip_width, strip_width)
-        return pa.concat_tables([head, tail])
-
-    from ..functions.collect import collect_column_lists
-
-    strip_cols = collect_column_lists(
-        sorted_ds.map_batches(strip, batch_format="pyarrow", batch_size=None),
-        ["row_idx", "norm"],
-    )
-    if strip_cols["norm"]:
-        pairs_sorted = sorted(zip(strip_cols["norm"], strip_cols["row_idx"]))
-        strip_df = _prefix_scan(
-            [p[0] for p in pairs_sorted], [p[1] for p in pairs_sorted], min_len
+        eligible = t.filter(
+            pc.greater_equal(pc.utf8_length(t["norm"]), pa.scalar(min_len))
         )
-    else:
-        strip_df = pd.DataFrame(
-            {"left_idx": [], "right_idx": [], "similarity": []}
-        ).astype({"left_idx": np.int64, "right_idx": np.int64, "similarity": np.float64})
-    boundary = ray.data.from_pandas(strip_df)
+        return pa.table(
+            {
+                "row_idx": eligible["row_idx"],
+                "norm": eligible["norm"],
+                "pfx": pc.utf8_slice_codeunits(eligible["norm"], 0, min_len),
+            }
+        )
 
-    out = in_block.union(boundary)
-    # dedup (strip edges overlap in-block edges)
-    from ..functions.grouped import dedup_pairs
+    keyed = norm.map_batches(add_prefix_key, batch_format="pyarrow")
 
-    return dedup_pairs(out, ["left_idx", "right_idx"], agg_col="similarity")
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one lexicographic scan over the whole bucket: strings of different
+        # prefix groups can never start with one another, so the stack pops
+        # naturally at group boundaries
+        df = df.sort_values("norm", kind="stable")
+        return _prefix_scan(df["norm"].tolist(), df["row_idx"].tolist(), min_len)
+
+    return bucketed_group_map(keyed, ["pfx"], scan_bucket)

@@ -158,3 +158,45 @@ def test_group_rep_ds_variant():
         "BB099931J": "CC082744L",
         "HH072982K": "HH072982K",
     }
+
+
+def test_parse_timestamps_parserinfo_and_is_date():
+    """parserinfo/kwargs forwarding (reference string_grouper_utils.py:139-155)
+    and the is_date probe (ibid:157-171)."""
+    from dateutil.parser import parserinfo
+
+    from string_grouper_ray.regroup import is_date, parse_timestamps
+
+    assert is_date("2016-11-30 00:00:00")
+    assert not is_date("not a date at all zzz")
+
+    # dayfirst via a custom parserinfo: 01/02/2020 -> Feb 1st
+    ts = pd.Series(["01/02/2020", "03/04/2020"])
+    got = parse_timestamps(ts, parserinfo(dayfirst=True))
+    assert got.iloc[0].month == 2 and got.iloc[0].day == 1
+    assert got.iloc[1].month == 4 and got.iloc[1].day == 3
+    # kwargs form (dayfirst passed straight to dateutil.parser.parse)
+    got2 = parse_timestamps(ts, dayfirst=True)
+    assert got2.iloc[0].month == 2 and got2.iloc[1].day == 3
+
+    with pytest.raises(ValueError):
+        parse_timestamps(pd.Series(["01/02/2020", "zzz not a date"]), dayfirst=True)
+
+
+def test_group_rep_by_timestamp_parserinfo():
+    from dateutil.parser import parserinfo
+
+    from string_grouper_ray.regroup import new_group_rep_by_earliest_timestamp
+
+    df = pd.DataFrame(
+        {
+            "gid": ["a", "a", "b"],
+            "cid": [1, 2, 3],
+            "ts": ["02/01/2020", "01/03/2020", "05/05/2020"],
+        }
+    )
+    # dayfirst: 02/01 = Jan 2nd, 01/03 = Mar 1st -> rep of group a is cid 1
+    out = new_group_rep_by_earliest_timestamp(
+        df, "gid", "cid", "ts", parserinfo=parserinfo(dayfirst=True)
+    )
+    assert out.tolist() == [1, 1, 3]
