@@ -38,6 +38,7 @@ def group_assignments(
     vocab: Optional[Vocabulary] = None,
     text_col: str = "text",
     edges: Optional["ray.data.Dataset"] = None,
+    force_distributed: bool = False,
 ) -> "ray.data.Dataset":
     """Cluster a dataset of (row_idx, text) rows into near-dup groups.
 
@@ -53,7 +54,14 @@ def group_assignments(
 
     if not isinstance(edges, MaterializedDataset):
         edges = edges.materialize()  # consumed twice (CC + centroid weights)
-    labels = connected_components(edges, ds, config).materialize()
+    if not force_distributed and edges.count() <= config.cc_driver_max_edges:
+        # thresholded edge lists are orders of magnitude smaller than the
+        # input; below the driver-CC threshold the whole label → weight →
+        # rep chain is a handful of numpy passes — skipping three shuffles
+        # and two joins of the distributed path (which remains the >50M-edge
+        # route below)
+        return _driver_group_assignments(edges, ds, config)
+    labels = connected_components(edges, ds, config, force_distributed=force_distributed).materialize()
 
     if config.group_rep == GROUP_REP_CENTROID:
         # weighted degree per node: sum of similarities over its edges,
@@ -140,3 +148,55 @@ def group_assignments(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _driver_group_assignments(
+    edges: "ray.data.Dataset", ds: "ray.data.Dataset", config: EngineConfig
+) -> "ray.data.Dataset":
+    """Driver fast path: labels, weights and representatives in one set of
+    vectorized numpy passes over the collected edge list.
+
+    Exact same semantics as the distributed path above — weights are the
+    per-left-endpoint similarity sums over the *same* edge rows (mirrored +
+    forced diagonal, see match_edges), rounded to 9 decimals before the
+    argmax, ties to the lowest row_idx.
+    """
+    from ..functions.collect import collect_columns
+    from ..state.unionfind import _driver_union_find
+
+    centroid = config.group_rep == GROUP_REP_CENTROID
+    cols = ["left_idx", "right_idx"] + (["similarity"] if centroid else [])
+    p = collect_columns(edges, cols)
+    l = p["left_idx"].astype(np.int64)
+    r = p["right_idx"].astype(np.int64)
+    node_ids = np.sort(collect_columns(ds, ["row_idx"])["row_idx"].astype(np.int64))
+    labels = _driver_union_find(l, r, node_ids)  # aligned with node_ids
+    n = len(node_ids)
+
+    if centroid:
+        weight = np.zeros(n, dtype=np.float64)
+        li = np.searchsorted(node_ids, l)
+        np.add.at(weight, li, p["similarity"].astype(np.float64))
+        weight = np.round(weight, 9)
+        weight_key = -weight  # argmax
+    else:
+        weight_key = node_ids.astype(np.float64)  # 'first': argmin row position
+
+    order = np.lexsort((node_ids, weight_key, labels))
+    g_sorted = labels[order]
+    first_mask = np.empty(len(order), dtype=bool)
+    first_mask[0:1] = True
+    first_mask[1:] = g_sorted[1:] != g_sorted[:-1]
+    rep_groups = g_sorted[first_mask]  # sorted ascending
+    rep_nodes = node_ids[order][first_mask]
+    group_rep = rep_nodes[np.searchsorted(rep_groups, labels)]
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "row_idx": pa.array(node_ids, type=pa.int64()),
+                "group_id": pa.array(labels, type=pa.int64()),
+                "group_rep_idx": pa.array(group_rep, type=pa.int64()),
+            }
+        )
+    )

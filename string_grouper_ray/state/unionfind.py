@@ -59,6 +59,17 @@ def _driver_union_find(l: np.ndarray, r: np.ndarray, nodes: np.ndarray) -> np.nd
             f"connected_components: edge endpoints not present in the nodes "
             f"dataset (first offenders: {bad.tolist()})"
         )
+    # canonicalize + dedup: self-join edge lists arrive mirrored (both
+    # (i,j) and (j,i)) plus a forced diagonal — none of which add
+    # connectivity. One packed-key unique halves every scatter sweep below.
+    if n > 0 and n < 3_000_000_000:  # lo*n+hi must fit int64
+        lo = np.minimum(li, ri)
+        hi = np.maximum(li, ri)
+        off_diag = lo != hi
+        packed = lo[off_diag] * np.int64(n) + hi[off_diag]
+        packed = np.unique(packed)
+        li = (packed // n).astype(np.int64)
+        ri = (packed % n).astype(np.int64)
     label = np.arange(n, dtype=np.int64)
     while True:
         # relax across edges (both directions)

@@ -340,3 +340,43 @@ def test_clipdedup_end_to_end(tmp_path):
     # resume path: re-run with same config hits the checkpoints
     out2 = dedup_clip_table(clip_dir, config=cfg, hydrate_payload=False)
     assert out2.count() == 400
+
+
+def test_group_assignments_driver_matches_distributed():
+    # a clique with distinct weights + a chain + singletons: both the
+    # driver fast path and the shuffle/join path must pick identical
+    # (group_id, group_rep_idx) per row under centroid and first modes
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    texts = (
+        ["alpha beta gamma delta"] * 3
+        + ["alpha beta gamma delt"]
+        + ["omega psi chi"]
+        + ["unrelated one"]
+        + ["unrelated two"]
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"row_idx": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    )
+    for rep in ("centroid", "first"):
+        cfg = EngineConfig(
+            use_actor_pools=False, min_similarity=0.5, group_rep=rep
+        )
+        drv = (
+            group_assignments(ds, cfg)
+            .to_pandas()
+            .sort_values("row_idx")
+            .reset_index(drop=True)
+        )
+        dist = (
+            group_assignments(ds, cfg, force_distributed=True)
+            .to_pandas()
+            .sort_values("row_idx")
+            .reset_index(drop=True)
+        )
+        assert drv["group_id"].tolist() == dist["group_id"].tolist(), rep
+        assert (
+            drv["group_rep_idx"].tolist() == dist["group_rep_idx"].tolist()
+        ), rep
