@@ -560,6 +560,16 @@ def compute_pairwise_similarities(string_series_1, string_series_2, **kwargs) ->
 
 
 def group_similar_strings(strings_to_group, string_ids=None, **kwargs):
+    """Reference ``group_similar_strings`` (string_grouper.py:851-904).
+
+    Known divergence from the reference: centroid group-rep weights are
+    rounded to 9 decimals before the argmax so the choice is invariant to
+    partitioning/summation order (pipelines/cluster.py). Groups whose true
+    similarity sums differ by < 1e-9 — i.e. by float summation noise only —
+    may therefore pick a different (equally central) representative than
+    the reference's exact ``idxmax``. Sums that differ by more than 1e-9
+    always agree with the reference.
+    """
     sg = RayStringGrouper(strings_to_group, master_id=string_ids, **kwargs).fit()
     return sg.get_groups()
 

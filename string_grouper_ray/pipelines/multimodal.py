@@ -5,11 +5,11 @@ metadata (``sr_hz``, ``dur_ms``, ``codec``). Each operator is an actor-pool
 ``map_batches`` stage sized for LARGE rows (small ``batch_size`` — a batch
 × concurrency of multi-MB payloads must fit a worker heap).
 
-Real in this environment: WAV/PCM16 decode + audio features (the synthetic
-clip table's codec). Stubbed behind ``NotImplementedError``: every other
-codec, image resize, video frame-sampling — the Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is identical and tested via
-the WAV path.
+Real in this environment: WAV/PCM16 decode, audio features, and
+windowed-sinc resampling (pure numpy, sources/audio.py). Stubbed behind
+``NotImplementedError``: non-WAV codecs and video frame-sampling — the
+Ray-side plumbing (schema, batch sizing, actor signature, output layout)
+is identical and tested via the WAV path.
 """
 
 from __future__ import annotations
@@ -88,19 +88,30 @@ class AudioInvariantChecker:
 
 
 class Resampler:
-    """STUB: audio resample to a target rate. Real resampling needs an audio
-    DSP library absent here; the stage contract (binary in/out, metadata
-    update) is what the pipeline depends on."""
+    """Audio resample to a target rate: decode → windowed-sinc resample
+    (sources/audio.py resample_pcm, pure numpy) → re-encode. Stage contract:
+    input (bytes, sr_hz, codec) → output (bytes, sr_hz=target, codec), all
+    other columns passed through; rows already at the target rate are
+    re-encoded unchanged."""
 
     def __init__(self, target_sr: int):
         self.target_sr = target_sr
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "Resampler is a stub in this environment: plug scipy.signal/soxr "
-            "into this seam. Stage contract: input (bytes, sr_hz, codec) → "
-            "output (bytes, sr_hz=target, codec)."
+        from ..sources.audio import encode_wav, resample_pcm
+
+        payloads = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        out_bytes = []
+        for data, codec in zip(payloads, codecs):
+            pcm, sr = decode_wav(data, codec)
+            out_bytes.append(encode_wav(resample_pcm(pcm, sr, self.target_sr), self.target_sr))
+        cols = {name: t[name] for name in t.column_names}
+        cols["bytes"] = pa.array(out_bytes, type=pa.binary())
+        cols["sr_hz"] = pa.array(
+            np.full(len(t), self.target_sr, dtype=np.int32), type=pa.int32()
         )
+        return pa.table(cols)
 
 
 class FrameSampler:
@@ -124,4 +135,15 @@ def audio_features(
     # binary rows are wide: small batches so batch × concurrency fits heap
     return stage_map_batches(
         ds, AudioFeatures, (), config, batch_format="pyarrow", batch_size=256
+    )
+
+
+def resample_audio(
+    ds: "ray.data.Dataset", target_sr: int, config: Optional[EngineConfig] = None
+) -> "ray.data.Dataset":
+    """Resample every clip's payload to ``target_sr`` (actor-pool stage;
+    same wide-row batch sizing as audio_features)."""
+    config = config or EngineConfig()
+    return stage_map_batches(
+        ds, Resampler, (target_sr,), config, batch_format="pyarrow", batch_size=256
     )

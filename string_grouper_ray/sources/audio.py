@@ -60,6 +60,38 @@ def decode_wav(data: bytes, codec: str = SUPPORTED_CODEC) -> tuple[np.ndarray, i
     return ints.astype(np.float64) / 32767.0, sr
 
 
+def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int, half_taps: int = 16) -> np.ndarray:
+    """Windowed-sinc resample of a mono float waveform (pure numpy).
+
+    Classic polyphase interpolation: each output sample is a dot product of
+    the input against a Hann-windowed sinc centered at its fractional input
+    position, with the cutoff lowered to ``sr_out/sr_in`` when downsampling
+    (anti-aliasing). Vectorized as one (n_out × taps) gather + weighted sum.
+    """
+    if sr_in == sr_out or len(pcm) == 0:
+        return pcm.copy()
+    ratio = sr_in / sr_out
+    n_out = max(1, int(round(len(pcm) / ratio)))
+    cutoff = min(1.0, 1.0 / ratio)
+    # widen the kernel when downsampling so the lowered cutoff keeps taps
+    width = int(np.ceil(half_taps / cutoff))
+    pos = np.arange(n_out, dtype=np.float64) * ratio
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    offsets = np.arange(-width + 1, width + 1, dtype=np.int64)
+    # (n_out, taps) tap positions, zero-padded at the edges via clipping+mask
+    tap_idx = base[:, None] + offsets[None, :]
+    valid = (tap_idx >= 0) & (tap_idx < len(pcm))
+    samples = pcm[np.clip(tap_idx, 0, len(pcm) - 1)]
+    samples = np.where(valid, samples, 0.0)
+    x = offsets[None, :] - frac[:, None]
+    kernel = cutoff * np.sinc(cutoff * x)
+    window = 0.5 + 0.5 * np.cos(np.pi * np.clip(x / width, -1.0, 1.0))
+    kernel *= window
+    out = np.einsum("ij,ij->i", samples, kernel)
+    return np.clip(out, -1.0, 1.0)
+
+
 def clip_waveform(clip_id: str, sr_hz: int, dur_ms: int) -> np.ndarray:
     """Deterministic per-clip waveform: 2-3 sine tones + light noise,
     seeded by crc32(clip_id) (FIXTURES.md F0)."""

@@ -115,3 +115,63 @@ def test_invariant_checker_stage():
     table = table.append_column("ref_transcript", table["transcript"])
     out = AudioInvariantChecker(30.0)(table)
     assert out.to_pandas()["invariant_ok"].all()
+
+
+def test_resample_pcm_preserves_tone():
+    # 440 Hz sine at 16 kHz -> 8 kHz: must match the directly generated
+    # 8 kHz sine (interior samples; windowed-sinc has edge transients)
+    from string_grouper_ray.sources.audio import resample_pcm, snr_db
+
+    sr_in, sr_out, f = 16000, 8000, 440.0
+    n = sr_in  # 1 s
+    t_in = np.arange(n) / sr_in
+    x = 0.5 * np.sin(2 * np.pi * f * t_in)
+    y = resample_pcm(x, sr_in, sr_out)
+    assert len(y) == sr_out
+    t_out = np.arange(len(y)) / sr_out
+    ref = 0.5 * np.sin(2 * np.pi * f * t_out)
+    core = slice(200, len(y) - 200)
+    assert snr_db(ref[core], y[core]) >= 40.0
+
+
+def test_resample_pcm_upsample_and_identity():
+    from string_grouper_ray.sources.audio import resample_pcm, snr_db
+
+    sr_in, f = 8000, 300.0
+    x = 0.4 * np.sin(2 * np.pi * f * np.arange(sr_in) / sr_in)
+    same = resample_pcm(x, sr_in, sr_in)
+    assert np.array_equal(same, x)
+    up = resample_pcm(x, sr_in, 16000)
+    assert len(up) == 16000
+    ref = 0.4 * np.sin(2 * np.pi * f * np.arange(16000) / 16000.0)
+    core = slice(400, 16000 - 400)
+    assert snr_db(ref[core], up[core]) >= 40.0
+    assert len(resample_pcm(np.empty(0), 8000, 16000)) == 0
+
+
+def test_resampler_stage_end_to_end():
+    # full actor-pool stage over a synthetic clip table: payload re-encoded
+    # at the target rate, metadata updated, transcript untouched
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import resample_audio
+    from string_grouper_ray.sources.audio import decode_wav
+    from string_grouper_ray.sources.synth import generate_clip_table
+
+    t = generate_clip_table(20, seed=11)
+    ds = ray.data.from_arrow(t)
+    out = resample_audio(
+        ds, 8000, EngineConfig(use_actor_pools=False, concurrency=2)
+    ).to_pandas()
+    assert (out["sr_hz"] == 8000).all()
+    assert out["transcript"].tolist() == t["transcript"].to_pylist()
+    src = t.to_pandas().set_index("clip_id")
+    for _, row in out.head(5).iterrows():
+        pcm, sr = decode_wav(row["bytes"], row["codec"])
+        assert sr == 8000
+        orig_pcm, orig_sr = decode_wav(
+            src.loc[row["clip_id"], "bytes"], row["codec"]
+        )
+        expect = len(orig_pcm) * 8000 / orig_sr
+        assert abs(len(pcm) - expect) <= 2
