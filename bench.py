@@ -124,10 +124,17 @@ def run_queries() -> dict:
 def main():
     if "--scaling" in sys.argv:
         # the scaling criterion compares throughput at two parallelism
-        # levels; use a compute-dominated input size (fixed per-stage
-        # latencies would otherwise mask the CPU scaling, just as a 256-node
-        # cluster is not benchmarked on 60k rows)
-        rows = int(os.environ.get("GRAFT_CLIP_ROWS", "250000"))
+        # levels (N vs 4N); use a compute-dominated input size (fixed
+        # per-stage latencies would otherwise mask the CPU scaling, just as
+        # a 256-node cluster is not benchmarked on 60k rows). This sandbox
+        # shows heavy hypervisor noise (±50% wall on identical runs), so
+        # each level runs GRAFT_SCALE_REPEATS times and the MIN — the
+        # least-contended measurement — is compared.
+        rows = int(os.environ.get("GRAFT_CLIP_ROWS", "1000000"))
+        lo_cpu, hi_cpu = (
+            int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "8,32").split(",")
+        )
+        repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
 
         def run(ncpu: int) -> float:
             env = dict(
@@ -139,16 +146,20 @@ def main():
             )
             return json.loads(res.stdout.strip().splitlines()[-1])["value"]
 
-        _ = _warm = run(32)  # warm page cache / fixture build
-        t_lo = run(8)
-        t_hi = run(32)
-        eff = (t_lo / t_hi) / (32 / 8)
+        _warm = run(hi_cpu)  # warm page cache / fixture build
+        lo_times, hi_times = [], []
+        for _ in range(repeats):  # interleaved: noise hits both levels alike
+            lo_times.append(run(lo_cpu))
+            hi_times.append(run(hi_cpu))
+        t_lo, t_hi = min(lo_times), min(hi_times)
+        eff = (t_lo / t_hi) / (hi_cpu / lo_cpu)
         print(json.dumps({
-            "sec_8": t_lo, "sec_32": t_hi,
-            "clips_per_sec_8": round(rows / t_lo, 1),
-            "clips_per_sec_32": round(rows / t_hi, 1),
+            f"sec_{lo_cpu}": t_lo, f"sec_{hi_cpu}": t_hi,
+            f"sec_{lo_cpu}_all": lo_times, f"sec_{hi_cpu}_all": hi_times,
+            f"clips_per_sec_{lo_cpu}": round(rows / t_lo, 1),
+            f"clips_per_sec_{hi_cpu}": round(rows / t_hi, 1),
             "scaling_efficiency": round(eff, 3),
-            "clip_rows": rows,
+            "clip_rows": rows, "levels": [lo_cpu, hi_cpu],
         }))
         return
 

@@ -90,6 +90,12 @@ class EngineConfig:
     # propagation. 50M edges ≈ 800MB driver-side — cheap next to the round
     # cost of the distributed path; raise further on a big-memory driver.
     cc_driver_max_edges: int = 50_000_000
+    # above this many edges the driver paths first run the map-parallel
+    # spanning-forest contraction (state/unionfind.py) so the serial
+    # driver-side collect + union-find sees O(nodes) rows, not O(edges).
+    # The contraction is one extra shuffle — it only pays when the edge
+    # list is several times the node count, so the floor is high.
+    cc_contract_min_edges: int = 20_000_000
     # guard for zero-similarity completion (reference O(n*m) cartesian)
     max_zero_pairs: int = 10_000_000
     # self-join LSH only: collapse exact duplicates (identical normalized

@@ -23,6 +23,18 @@ import ray.data
 _BUCKET = "__sgr_gbucket"
 
 
+def default_buckets() -> int:
+    """Shuffle fan-out sized to the cluster: ~4 reduce tasks per CPU slot
+    (amortizes stragglers/skew across waves) with a floor of 32. Bucketing
+    never changes results, only partitioning."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(32, 4 * cpus)
+
+
+
 def _bucket_of(t: pa.Table, keys: List[str], num_buckets: int) -> pa.Array:
     # deterministic hashing only: Python's str hash is per-process randomized
     # and tasks run in different workers (same caveat as joins._key_bucket)
@@ -46,10 +58,12 @@ def bucketed_group_map(
     ds: "ray.data.Dataset",
     keys: List[str],
     bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """``bucket_fn`` sees one whole bucket (all rows of every group hashed
     into it, WITHOUT the bucket column) and must handle grouping itself."""
+    if num_buckets is None:
+        num_buckets = default_buckets()
 
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(_BUCKET, _bucket_of(t, keys, num_buckets))
@@ -69,7 +83,7 @@ def dedup_pairs(
     keys: List[str],
     agg_col: Optional[str] = None,
     agg: str = "max",
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Distinct rows per key tuple (optionally keeping the max/min of one
     value column). One bucketed shuffle + vectorized pandas dedup — Ray's
@@ -92,7 +106,7 @@ def groupby_agg(
     col: Optional[str],
     agg: str,
     out_col: Optional[str] = None,
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Distributed per-key aggregate (``sum``/``min``/``max``/``count``) with
     map-side partial aggregation.
@@ -130,7 +144,7 @@ def per_group_topk(
     sort_cols: List[str],
     ascending: List[bool],
     k: int,
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Vectorized per-group top-k: sort within bucket, ``groupby.head(k)``."""
 

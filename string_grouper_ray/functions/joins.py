@@ -121,7 +121,7 @@ def shuffle_join(
     on: str,
     right_on: Optional[str] = None,
     how: str = "inner",
-    num_buckets: int = 32,
+    num_buckets: Optional[int] = None,
     left_schema: Optional[pa.Schema] = None,
     right_schema: Optional[pa.Schema] = None,
 ) -> "ray.data.Dataset":
@@ -138,6 +138,10 @@ def shuffle_join(
     whose schema Ray would otherwise have to execute blocks to discover
     (``Dataset.schema()`` on an unexecuted shuffle triggers real work).
     """
+    if num_buckets is None:
+        from .grouped import default_buckets
+
+        num_buckets = default_buckets()
     right_on = right_on or on
     left_schema = left_schema or _arrow_schema(left)
     right_schema = right_schema or _arrow_schema(right)

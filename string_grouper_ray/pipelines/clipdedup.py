@@ -90,8 +90,13 @@ def dedup_clip_table(
             narrow.select_columns(["row_idx", "text"]), None, config
         )
         if with_containment:
+            # distinct-norm star edges suffice for clustering when the
+            # exact-dup short-circuit connects identical norms to a rep;
+            # the all-pairs default would go quadratic on popular
+            # truncations of popular transcripts
             cont = containment_edges(
-                narrow.select_columns(["row_idx", "text"]), config, "text"
+                narrow.select_columns(["row_idx", "text"]), config, "text",
+                distinct=config.exact_dup_shortcircuit,
             )
             from ..functions.grouped import dedup_pairs
 

@@ -162,21 +162,50 @@ def _driver_group_assignments(
     argmax, ties to the lowest row_idx.
     """
     from ..functions.collect import collect_columns
-    from ..state.unionfind import _driver_union_find
+    from ..state.unionfind import _driver_union_find, spanning_forest_contract
 
     centroid = config.group_rep == GROUP_REP_CENTROID
-    cols = ["left_idx", "right_idx"] + (["similarity"] if centroid else [])
-    p = collect_columns(edges, cols)
-    l = p["left_idx"].astype(np.int64)
-    r = p["right_idx"].astype(np.int64)
+    n_edges = edges.count()
+    contract = n_edges > config.cc_contract_min_edges
     node_ids = np.sort(collect_columns(ds, ["row_idx"])["row_idx"].astype(np.int64))
-    labels = _driver_union_find(l, r, node_ids)  # aligned with node_ids
     n = len(node_ids)
+
+    if contract:
+        # keep the serial driver work O(nodes): labels from the map-parallel
+        # spanning-forest contraction, centroid weights from a distributed
+        # partial-agg groupby — only O(nodes) rows ever reach the driver
+        tree = collect_columns(
+            spanning_forest_contract(edges), ["left_idx", "right_idx"]
+        )
+        l = tree["left_idx"].astype(np.int64)
+        r = tree["right_idx"].astype(np.int64)
+    else:
+        cols = ["left_idx", "right_idx"] + (["similarity"] if centroid else [])
+        p = collect_columns(edges, cols)
+        l = p["left_idx"].astype(np.int64)
+        r = p["right_idx"].astype(np.int64)
+    labels = _driver_union_find(l, r, node_ids)  # aligned with node_ids
 
     if centroid:
         weight = np.zeros(n, dtype=np.float64)
-        li = np.searchsorted(node_ids, l)
-        np.add.at(weight, li, p["similarity"].astype(np.float64))
+        if contract:
+            from ..functions.grouped import groupby_agg
+
+            wcols = collect_columns(
+                groupby_agg(edges, "left_idx", "similarity", "sum", out_col="weight"),
+                ["left_idx", "weight"],
+            )
+            wl = wcols["left_idx"].astype(np.int64)
+            li = np.searchsorted(node_ids, wl)
+            if len(li) and not bool((node_ids[np.minimum(li, n - 1)] == wl).all()):
+                raise ValueError(
+                    "group weights reference edge endpoints missing from the "
+                    "nodes dataset"
+                )
+            weight[li] = wcols["weight"].astype(np.float64)
+        else:
+            li = np.searchsorted(node_ids, l)
+            np.add.at(weight, li, p["similarity"].astype(np.float64))
         weight = np.round(weight, 9)
         weight_key = -weight  # argmax
     else:

@@ -89,11 +89,22 @@ def containment_edges(
     config: Optional[EngineConfig] = None,
     text_col: str = "text",
     min_len: int = 6,
+    distinct: bool = False,
 ) -> "ray.data.Dataset":
     """Edges (left_idx, right_idx, similarity=1.0) for prefix containments.
 
     ``min_len`` ignores trivially-short prefixes (noise floor) and doubles
     as the co-location key length (see module docstring).
+
+    ``distinct=True`` emits ONE edge per distinct (prefix-norm,
+    container-norm) pair — between the min-row representative of each norm
+    — instead of all copy×copy pairs. Connectivity-equivalent for
+    clustering whenever exact-duplicate edges already join identical norms
+    to a representative (the flagship's exact_dup_shortcircuit does), and
+    it removes the k_prefix × k_container quadratic blowup when a popular
+    transcript has popular truncations. Keep the default (all pairs) for
+    the standalone containment operator whose contract is the full pair
+    list.
     """
     config = config or EngineConfig()
     from ..functions.grouped import bucketed_group_map
@@ -124,6 +135,8 @@ def containment_edges(
         # one lexicographic scan over the whole bucket: strings of different
         # prefix groups can never start with one another, so the stack pops
         # naturally at group boundaries
+        if distinct:
+            df = df.groupby("norm", sort=False, as_index=False)["row_idx"].min()
         df = df.sort_values("norm", kind="stable")
         return _prefix_scan(df["norm"].tolist(), df["row_idx"].tolist(), min_len)
 

@@ -90,6 +90,49 @@ def _driver_union_find(l: np.ndarray, r: np.ndarray, nodes: np.ndarray) -> np.nd
     return labels
 
 
+def spanning_forest_contract(
+    edges: "ray.data.Dataset", num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Parallel edge contraction: hash-partition edges, run a local numpy
+    union-find per partition, emit only each partition's spanning-forest
+    edges (≤ distinct nodes per partition, vs O(edges) input).
+
+    Connectivity-exact: a union of per-partition spanning forests connects
+    exactly the same components as the full edge list, so the driver's
+    union-find can finish on the contracted set. This keeps the serial
+    driver work O(nodes) while the O(edges) pass stays map-parallel — the
+    same filtering trick published for massive-graph CC (contract locally,
+    solve the small remainder centrally).
+    """
+    from ..functions.grouped import bucketed_group_map
+
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        import pandas as pd  # noqa: F811
+
+        l = df["left_idx"].to_numpy(dtype=np.int64)
+        r = df["right_idx"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([l, r]))
+        labels = _driver_union_find(l, r, nodes)
+        # tree edges: every node → its component label (skip self-roots)
+        keep = labels != nodes
+        return pd.DataFrame(
+            {
+                "left_idx": labels[keep],
+                "right_idx": nodes[keep],
+                "similarity": np.ones(int(keep.sum()), dtype=np.float64),
+            }
+        )
+
+    import pandas as pd
+
+    return bucketed_group_map(
+        edges.select_columns(["left_idx", "right_idx"]),
+        ["left_idx", "right_idx"],
+        contract,
+        num_buckets=num_buckets,
+    )
+
+
 def connected_components(
     edges: "ray.data.Dataset",
     nodes: "ray.data.Dataset",
@@ -114,13 +157,23 @@ def connected_components(
         edges = edges.materialize()
     n_edges = edges.count()
     if not force_distributed and n_edges <= config.cc_driver_max_edges:
-        return _cc_driver(edges, nodes)
+        return _cc_driver(edges, nodes, n_edges, config)
     return _cc_distributed(edges, nodes, config)
 
 
-def _cc_driver(edges: "ray.data.Dataset", nodes: "ray.data.Dataset") -> "ray.data.Dataset":
+def _cc_driver(
+    edges: "ray.data.Dataset",
+    nodes: "ray.data.Dataset",
+    n_edges: Optional[int] = None,
+    config: Optional[EngineConfig] = None,
+) -> "ray.data.Dataset":
     from ..functions.collect import collect_columns
 
+    config = config or EngineConfig()
+    if n_edges is None:
+        n_edges = edges.count()
+    if n_edges > config.cc_contract_min_edges:
+        edges = spanning_forest_contract(edges)
     pairs = collect_columns(edges, ["left_idx", "right_idx"])
     l = pairs["left_idx"].astype(np.int64)
     r = pairs["right_idx"].astype(np.int64)

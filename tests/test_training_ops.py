@@ -380,3 +380,108 @@ def test_group_assignments_driver_matches_distributed():
         assert (
             drv["group_rep_idx"].tolist() == dist["group_rep_idx"].tolist()
         ), rep
+
+
+def test_containment_distinct_is_connectivity_equivalent():
+    # popular transcript with popular truncations: distinct=True must give
+    # the same clusters as all-pairs containment once exact-dup edges are
+    # in the union (the flagship configuration), at a fraction of the edges
+    from string_grouper_ray.functions.grouped import dedup_pairs
+    from string_grouper_ray.stages.lsh import _exact_dup_collapse
+    from string_grouper_ray.stages.suffixstage import containment_edges
+    from string_grouper_ray.state.unionfind import connected_components
+
+    full = "the quick brown fox jumps over the lazy dog again"
+    trunc = full[:30]
+    texts = [full] * 20 + [trunc] * 15 + ["completely different text here"] * 5
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"row_idx": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    )
+    cfg = EngineConfig(use_actor_pools=False, exact_dup_shortcircuit=True)
+    _rep_map, exact_edges = _exact_dup_collapse(ds, cfg, "text")
+
+    def labels_with(distinct):
+        cont = containment_edges(ds, cfg, "text", distinct=distinct)
+        edges = dedup_pairs(
+            exact_edges.union(cont), ["left_idx", "right_idx"],
+            agg_col="similarity",
+        )
+        return (
+            connected_components(edges, ds, cfg)
+            .to_pandas()
+            .sort_values("row_idx")["group_id"]
+            .tolist()
+        )
+
+    la = labels_with(False)
+    lb = labels_with(True)
+    assert la == lb
+    # and the truncation family really is merged (non-vacuous)
+    assert la[0] == la[20]  # full-copy cluster joined with trunc cluster
+    assert la[0] != la[35]  # unrelated stays separate
+    n_full = containment_edges(ds, cfg, "text", distinct=False).count()
+    n_dist = containment_edges(ds, cfg, "text", distinct=True).count()
+    assert n_dist < n_full  # the quadratic blowup is actually removed
+
+
+def test_group_assignments_contracted_matches_direct():
+    # force contraction with a tiny threshold: labels and reps must be
+    # identical to the uncontracted driver path (and the distributed one)
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    texts = (
+        ["alpha beta gamma delta"] * 4
+        + ["alpha beta gamma delt"] * 2
+        + ["omega psi chi"] * 3
+        + ["unrelated one", "unrelated two"]
+    )
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {"row_idx": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+    )
+    base_cfg = EngineConfig(use_actor_pools=False, min_similarity=0.5)
+    want = (
+        group_assignments(ds, base_cfg)
+        .to_pandas().sort_values("row_idx").reset_index(drop=True)
+    )
+    small = EngineConfig(
+        use_actor_pools=False, min_similarity=0.5, cc_contract_min_edges=1
+    )
+    got = (
+        group_assignments(ds, small)
+        .to_pandas().sort_values("row_idx").reset_index(drop=True)
+    )
+    assert got["group_id"].tolist() == want["group_id"].tolist()
+    assert got["group_rep_idx"].tolist() == want["group_rep_idx"].tolist()
+
+
+def test_spanning_forest_contract_preserves_components():
+    from string_grouper_ray.state.unionfind import (
+        connected_components, spanning_forest_contract,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    nodes = ray.data.from_pandas(
+        pd.DataFrame({"row_idx": np.arange(n, dtype=np.int64)})
+    )
+    # chains of 6 + random intra-cluster extra edges (dense, redundant)
+    l_list, r_list = [], []
+    for g in range(0, n, 6):
+        m = np.arange(g, min(g + 6, n))
+        l_list.append(m[:-1]); r_list.append(m[1:])
+        extra = rng.integers(0, len(m), size=(8, 2))
+        l_list.append(m[extra[:, 0]]); r_list.append(m[extra[:, 1]])
+    l = np.concatenate(l_list); r = np.concatenate(r_list)
+    eds = ray.data.from_pandas(
+        pd.DataFrame({"left_idx": l, "right_idx": r,
+                      "similarity": np.ones(len(l))})
+    )
+    direct = connected_components(eds, nodes, CFG).to_pandas().sort_values("row_idx")
+    contracted = spanning_forest_contract(eds, num_buckets=8)
+    via = connected_components(contracted, nodes, CFG).to_pandas().sort_values("row_idx")
+    assert direct["group_id"].tolist() == via["group_id"].tolist()
+    assert contracted.count() < len(l)  # actually contracts
