@@ -162,25 +162,47 @@ def write_clip_table(
     with_audio: bool = True,
 ) -> str:
     """Write the synthetic table as sharded parquet (resumable layout:
-    one file per shard; existing shards are skipped on rerun)."""
+    one file per shard; existing shards are skipped on rerun). Missing
+    shards are generated in a process pool — each shard is seeded
+    independently (seed + shard), so parallel generation is bit-identical
+    to the old serial loop."""
     os.makedirs(out_dir, exist_ok=True)
+    todo = []
     start = 0
     shard = 0
     while start < n:
         stop = min(start + shard_rows, n)
         path = os.path.join(out_dir, f"part-{shard:05d}.parquet")
         if not os.path.exists(path):
-            table = generate_clip_table(stop - start, seed=seed + shard, with_audio=with_audio)
-            # re-key clip ids / groups into the global namespace
-            ids = [f"clip-{start + i:08d}" for i in range(stop - start)]
-            groups = table["true_group"].to_numpy() + (start << 20)
-            table = table.set_column(0, "clip_id", pa.array(ids, type=pa.string()))
-            table = table.set_column(
-                table.schema.get_field_index("true_group"),
-                "true_group",
-                pa.array(groups, type=pa.int64()),
-            )
-            pq.write_table(table, path)
+            todo.append((shard, start, stop, path))
         start = stop
         shard += 1
+    if todo:
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = min(16, os.cpu_count() or 4, len(todo))
+        args = [(s, a, b, p, seed, with_audio) for s, a, b, p in todo]
+        if workers <= 1:
+            for a in args:
+                _write_clip_shard(a)
+        else:
+            with ProcessPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(_write_clip_shard, args))
     return out_dir
+
+
+def _write_clip_shard(args) -> None:
+    shard, start, stop, path, seed, with_audio = args
+    table = generate_clip_table(stop - start, seed=seed + shard, with_audio=with_audio)
+    # re-key clip ids / groups into the global namespace
+    ids = [f"clip-{start + i:08d}" for i in range(stop - start)]
+    groups = table["true_group"].to_numpy() + (start << 20)
+    table = table.set_column(0, "clip_id", pa.array(ids, type=pa.string()))
+    table = table.set_column(
+        table.schema.get_field_index("true_group"),
+        "true_group",
+        pa.array(groups, type=pa.int64()),
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
