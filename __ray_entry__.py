@@ -435,6 +435,41 @@ def _q_audio_features(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_audio_resample(sf_dir: str):
+    """Windowed-sinc resample stage (pipelines/multimodal.py Resampler) over
+    the same deterministic synthetic clip table; result = per-clip decoded
+    length + RMS at the target rate (rows-only check: payloads are binary)."""
+    import numpy as np
+
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import resample_audio
+    from string_grouper_ray.sources.audio import decode_wav
+    from string_grouper_ray.sources.synth import generate_clip_table
+
+    table = generate_clip_table(200, seed=42)
+    ds = ray.data.from_arrow(table)
+    out = resample_audio(ds, 8000, _cfg(use_actor_pools=False))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = np.zeros(len(t), dtype=np.int64)
+        rms = np.zeros(len(t), dtype=np.float64)
+        for i, (b, c) in enumerate(zip(t["bytes"].to_pylist(), t["codec"].to_pylist())):
+            pcm, _sr = decode_wav(b, c)
+            ns[i] = len(pcm)
+            rms[i] = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "sr_hz": t["sr_hz"],
+                "n_samples": pa.array(ns),
+                "rms": _round(pa.array(rms), 4),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -476,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint,
         "regroup_events": _q_regroup_events,
         "audio_features": _q_audio_features,
+        "audio_resample": _q_audio_resample,
     }
 
 
