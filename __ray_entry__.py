@@ -294,7 +294,32 @@ def _q_ann_topk(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF path in its exact configuration (n_probe == n_list probes every
+    inverted list): identical results to brute force, so the same DuckDB
+    oracle hash-checks the whole coarse-quantizer + probe machinery."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.ann import knn_ivf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = ds.filter(lambda row: row["vec_id"] < 8)
+    out = knn_ivf(ds, queries, k=10, n_list=16, n_probe=16, config=_cfg())
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "cosine": _round(t["cosine"], 4),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_embedding_neardup(sf_dir: str):
+
     import ray.data
 
     from string_grouper_ray.pipelines.ann import embedding_near_dup_pairs
@@ -503,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_docs": _q_dedup_simhash_docs,
         "jaccard_part": _q_jaccard_part,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "token_counts_docs": _q_token_counts,
         "token_counts_bpe_docs": _q_token_counts_bpe,
@@ -730,6 +756,7 @@ FROM documents
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "jaccard_part": jaccard_sql,
         "ann_topk": ann_sql,
+        "ann_topk_ivf": ann_sql,
         "embedding_neardup": neardup_sql,
         "token_counts_docs": (
             "SELECT doc_id, CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)"

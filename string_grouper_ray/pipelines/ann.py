@@ -9,6 +9,10 @@
   (multi-probe via several independent tables), then exact cosine on the
   candidates. Approximate; recall measured against the brute-force baseline
   in tests.
+* :func:`knn_ivf` — IVF scale path: spherical-kmeans coarse quantizer
+  trained on a bounded driver-side sample, nearest-list assignment inside
+  the streaming scan, exact cosine only for rows in a query's ``n_probe``
+  closest lists (``n_probe == n_list`` degenerates to exact).
 * :func:`embedding_near_dup_pairs` — near-duplicate detection by embedding
   cosine ≥ threshold (brute-force blocked matmul; same broadcast pattern).
 """
@@ -212,6 +216,128 @@ def knn_lsh(
         batch_format="pyarrow", batch_size=config.batch_size,
     )
     return knn_brute_force(candidates, queries, k, id_col, vec_col, config)
+
+
+def _train_centroids(
+    mat: np.ndarray, n_list: int, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Spherical k-means (cosine Lloyd) on a driver-side sample — the same
+    bounded-sample training FAISS-style IVF indexes use. Returns
+    L2-normalized centroids (n_list × dim)."""
+    rng = np.random.RandomState(seed)
+    mat = _l2_normalize(mat)
+    n = len(mat)
+    n_list = min(n_list, n)
+    cent = mat[rng.choice(n, size=n_list, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(n_list):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+            else:  # empty list: reseed from a random sample row
+                cent[c] = mat[rng.randint(n)]
+        cent = _l2_normalize(cent)
+    return cent
+
+
+class _IvfProbeScore:
+    """Assign each corpus row to its nearest centroid list, keep only rows
+    in a list probed by ≥1 query, and emit exact-cosine candidate top-k per
+    probing query. Centroids + probe map are broadcast once per actor."""
+
+    def __init__(self, state_ref, k: int, id_col: str, vec_col: str):
+        cent, qids, qmat, probes = (
+            ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
+        )
+        self.cent = cent  # (n_list, dim), normalized
+        self.qids = qids
+        self.qmat = qmat  # normalized (nq, dim)
+        self.probes = probes  # (nq, n_probe) list ids per query
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = _l2_normalize(_mat_from_batch(t, self.vec_col))
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = np.argmax(mat @ self.cent.T, axis=1) if len(mat) else np.empty(0, np.int64)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            sel = np.isin(lists, self.probes[qi])
+            if not sel.any():
+                continue
+            row = self.qmat[qi] @ mat[sel].T
+            cand_ids = ids[sel]
+            k = min(self.k, len(row))
+            top = np.argpartition(-row, k - 1)[:k] if len(row) > k else np.arange(len(row))
+            out_q.append(np.full(len(top), self.qids[qi], dtype=np.int64))
+            out_id.append(cand_ids[top])
+            out_s.append(row[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_s).astype(np.float64)),
+            }
+        )
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: "ray.data.Dataset",
+    k: int = 10,
+    n_list: int = 64,
+    n_probe: int = 8,
+    train_rows: int = 20_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    config: Optional[EngineConfig] = None,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """IVF approximate top-k: spherical-kmeans coarse quantizer (trained on
+    a bounded driver-side sample), nearest-list assignment inside the
+    streaming corpus scan, exact cosine only for rows in a query's
+    ``n_probe`` closest lists, partial+final top-k merge.
+
+    The scale path when the hyperplane tables of :func:`knn_lsh` probe too
+    coarsely: recall is tunable via ``n_probe`` (``n_probe == n_list``
+    degenerates to exact brute force). Only centroids (n_list × dim) and
+    the query matrix are broadcast; the corpus streams once.
+    """
+    config = config or EngineConfig()
+    sample = ds.limit(train_rows).select_columns([vec_col]).to_pandas()
+    smat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    cent = _train_centroids(smat, n_list, seed=seed)
+
+    qdf = queries.select_columns([id_col, vec_col]).to_pandas()
+    qids = qdf[id_col].to_numpy(dtype=np.int64)
+    qmat = _l2_normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])
+    )
+    n_probe = min(n_probe, len(cent))
+    qc = qmat @ cent.T  # (nq, n_list)
+    probes = np.argpartition(-qc, n_probe - 1, axis=1)[:, :n_probe] if len(cent) > n_probe else np.tile(np.arange(len(cent)), (len(qmat), 1))
+    state_ref = ray.put((cent, qids, qmat, probes))
+
+    cand = stage_map_batches(
+        ds, _IvfProbeScore, (state_ref, k, id_col, vec_col), config,
+        batch_format="pyarrow", batch_size=config.batch_size,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        return g[["query_id", "vec_id", "cosine"]]
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
 def _collect_embedding_chunks(

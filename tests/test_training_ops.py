@@ -485,3 +485,39 @@ def test_spanning_forest_contract_preserves_components():
     via = connected_components(contracted, nodes, CFG).to_pandas().sort_values("row_idx")
     assert direct["group_id"].tolist() == via["group_id"].tolist()
     assert contracted.count() < len(l)  # actually contracts
+
+
+def test_knn_ivf_recall_and_exact_degenerate():
+    from string_grouper_ray.pipelines.ann import knn_brute_force, knn_ivf
+
+    rng = np.random.RandomState(3)
+    # clustered corpus (IVF's favorable case) + noise
+    centers = rng.normal(size=(8, 16)) * 3
+    base = np.vstack(
+        [centers[i % 8] + rng.normal(size=16) * 0.5 for i in range(300)]
+    )
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in base], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    queries = ds.filter(lambda r: r["vec_id"] < 5)
+    exact = knn_brute_force(ds, queries, k=10, config=CFG).to_pandas()
+    ex = set(zip(exact["query_id"], exact["vec_id"]))
+
+    approx = knn_ivf(
+        ds, queries, k=10, n_list=16, n_probe=4, config=CFG
+    ).to_pandas()
+    ap = set(zip(approx["query_id"], approx["vec_id"]))
+    assert len(ex & ap) / len(ex) >= 0.8
+
+    # n_probe == n_list degenerates to exact brute force
+    full = knn_ivf(
+        ds, queries, k=10, n_list=8, n_probe=8, config=CFG
+    ).to_pandas()
+    fu = set(zip(full["query_id"], full["vec_id"]))
+    assert fu == ex
