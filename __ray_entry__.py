@@ -495,6 +495,48 @@ def _q_audio_resample(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_frame_sample(sf_dir: str):
+    """Video frame-sampling stage (pipelines/multimodal.py FrameSampler)
+    over a deterministic synthetic rawv1 video table — one row per sampled
+    frame with per-frame mean RGB (rows-only check: payloads are binary)."""
+    import numpy as np
+
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import sample_frames
+    from string_grouper_ray.sources.video import synth_video
+
+    n = 64
+    table = pa.table(
+        {
+            "clip_id": pa.array(np.arange(n, dtype=np.int64)),
+            "bytes": pa.array(
+                [synth_video(i, n_frames=48 + (i % 5)) for i in range(n)],
+                type=pa.binary(),
+            ),
+            "codec": pa.array(["rawv1"] * n),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    out = sample_frames(ds, every_n_frames=12, config=_cfg(use_actor_pools=False))
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean_rgb = np.zeros(len(t), dtype=np.float64)
+        for i, fb in enumerate(t["frame_bytes"].to_pylist()):
+            mean_rgb[i] = float(np.frombuffer(fb, dtype=np.uint8).mean())
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "frame_idx": t["frame_idx"],
+                "width": t["width"],
+                "height": t["height"],
+                "mean_rgb": _round(pa.array(mean_rgb), 3),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -538,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regroup_events": _q_regroup_events,
         "audio_features": _q_audio_features,
         "audio_resample": _q_audio_resample,
+        "frame_sample": _q_frame_sample,
     }
 
 

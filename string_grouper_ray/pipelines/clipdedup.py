@@ -72,13 +72,18 @@ def dedup_clip_table(
     config = config or EngineConfig()
     ckpt = CheckpointManager(config.checkpoint_dir, config)
 
-    from ..sources.io import read_table
+    from ..sources.io import read_table, read_table_with_row_idx
 
     # prune at the read: only the narrow columns enter the match path
-    # (read_table = the Lance-or-Parquet storage seam, sources/io.py)
-    narrow = read_table(input_path, columns=[id_col, text_col])
-    n = narrow.count()
-    narrow = add_row_idx(narrow, n).map_batches(
+    # (read_table = the Lance-or-Parquet storage seam, sources/io.py).
+    # Parquet inputs get row_idx straight from footer offsets — the
+    # zip(range(n)) path costs a count pass + zip + repartition that is
+    # parallelism-independent (pure serial floor at scale).
+    narrow = read_table_with_row_idx(input_path, columns=[id_col, text_col])
+    if narrow is None:
+        narrow = read_table(input_path, columns=[id_col, text_col])
+        narrow = add_row_idx(narrow, narrow.count())
+    narrow = narrow.map_batches(
         lambda t: pa.table(
             {"row_idx": t["row_idx"], "clip_id": t[id_col], "text": t[text_col]}
         ),
@@ -98,18 +103,19 @@ def dedup_clip_table(
                 narrow.select_columns(["row_idx", "text"]), config, "text",
                 distinct=config.exact_dup_shortcircuit,
             )
-            from ..functions.grouped import dedup_pairs
-
-            edges = dedup_pairs(
-                edges.union(cont), ["left_idx", "right_idx"], agg_col="similarity"
-            )
+            # NOT deduped here: group_assignments(dedup_edges=True) merges
+            # duplicate (l, r) rows on the driver below the CC threshold
+            # (numpy lexsort on edges it collects anyway) and only pays the
+            # distributed dedup shuffle above it
+            edges = edges.union(cont)
         return edges
 
     edges = ckpt.stage("edges", compute_edges)
 
     def compute_groups():
         return group_assignments(
-            narrow.select_columns(["row_idx", "text"]), config, None, "text", edges=edges
+            narrow.select_columns(["row_idx", "text"]), config, None, "text",
+            edges=edges, dedup_edges=with_containment,
         )
 
     groups = ckpt.stage("groups", compute_groups)

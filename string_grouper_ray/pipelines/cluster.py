@@ -39,6 +39,7 @@ def group_assignments(
     text_col: str = "text",
     edges: Optional["ray.data.Dataset"] = None,
     force_distributed: bool = False,
+    dedup_edges: bool = False,
 ) -> "ray.data.Dataset":
     """Cluster a dataset of (row_idx, text) rows into near-dup groups.
 
@@ -46,6 +47,14 @@ def group_assignments(
     (row_idx:int64, group_id:int64, group_rep_idx:int64), where ``group_id``
     is the component's min row_idx and ``group_rep_idx`` the representative
     member per ``config.group_rep``.
+
+    ``dedup_edges=True`` means the caller's edge list may contain duplicate
+    (left, right) rows (e.g. a union of match + containment edges) that
+    must be max-merged before weight sums. Below the driver-CC threshold
+    that dedup is a numpy lexsort on the already-collected edges — callers
+    should NOT pre-pay a distributed dedup shuffle for it (observed 18 s of
+    a 70 s 1M-row flagship run); above the threshold the dedup runs as a
+    bucketed shuffle here.
     """
     config = config or EngineConfig()
     if edges is None:
@@ -54,13 +63,24 @@ def group_assignments(
 
     if not isinstance(edges, MaterializedDataset):
         edges = edges.materialize()  # consumed twice (CC + centroid weights)
-    if not force_distributed and edges.count() <= config.cc_driver_max_edges:
+    n_edges = edges.count()
+    driver_path = not force_distributed and n_edges <= config.cc_driver_max_edges
+    if dedup_edges and not (driver_path and n_edges <= config.cc_contract_min_edges):
+        # distributed (or contraction) route: weights aggregate the edge
+        # dataset directly, so duplicates must be merged distributedly
+        from ..functions.grouped import dedup_pairs
+
+        edges = dedup_pairs(
+            edges, ["left_idx", "right_idx"], agg_col="similarity"
+        ).materialize()
+        dedup_edges = False  # merged; driver path needs no second pass
+    if driver_path:
         # thresholded edge lists are orders of magnitude smaller than the
         # input; below the driver-CC threshold the whole label → weight →
         # rep chain is a handful of numpy passes — skipping three shuffles
         # and two joins of the distributed path (which remains the >50M-edge
         # route below)
-        return _driver_group_assignments(edges, ds, config)
+        return _driver_group_assignments(edges, ds, config, dedup=dedup_edges)
     labels = connected_components(edges, ds, config, force_distributed=force_distributed).materialize()
 
     if config.group_rep == GROUP_REP_CENTROID:
@@ -151,7 +171,10 @@ def group_assignments(
 
 
 def _driver_group_assignments(
-    edges: "ray.data.Dataset", ds: "ray.data.Dataset", config: EngineConfig
+    edges: "ray.data.Dataset",
+    ds: "ray.data.Dataset",
+    config: EngineConfig,
+    dedup: bool = False,
 ) -> "ray.data.Dataset":
     """Driver fast path: labels, weights and representatives in one set of
     vectorized numpy passes over the collected edge list.
@@ -167,6 +190,15 @@ def _driver_group_assignments(
     centroid = config.group_rep == GROUP_REP_CENTROID
     n_edges = edges.count()
     contract = n_edges > config.cc_contract_min_edges
+    if dedup and contract:
+        # weights below aggregate `edges` distributedly — duplicates must be
+        # merged there, not on the driver
+        from ..functions.grouped import dedup_pairs
+
+        edges = dedup_pairs(
+            edges, ["left_idx", "right_idx"], agg_col="similarity"
+        ).materialize()
+        dedup = False
     node_ids = np.sort(collect_columns(ds, ["row_idx"])["row_idx"].astype(np.int64))
     n = len(node_ids)
 
@@ -184,6 +216,22 @@ def _driver_group_assignments(
         p = collect_columns(edges, cols)
         l = p["left_idx"].astype(np.int64)
         r = p["right_idx"].astype(np.int64)
+        if dedup and len(l):
+            # max-merge duplicate (left, right) rows — same semantics as
+            # dedup_pairs(agg="max") but a numpy lexsort on the edges this
+            # path collects anyway, instead of a distributed shuffle
+            if centroid:
+                sim = p["similarity"].astype(np.float64)
+                order = np.lexsort((-sim, r, l))
+            else:
+                order = np.lexsort((r, l))
+            ls, rs = l[order], r[order]
+            keep = np.empty(len(ls), dtype=bool)
+            keep[0] = True
+            keep[1:] = (ls[1:] != ls[:-1]) | (rs[1:] != rs[:-1])
+            l, r = ls[keep], rs[keep]
+            if centroid:
+                p = {"similarity": sim[order][keep]}
     labels = _driver_union_find(l, r, node_ids)  # aligned with node_ids
 
     if centroid:

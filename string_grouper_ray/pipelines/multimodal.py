@@ -5,11 +5,12 @@ metadata (``sr_hz``, ``dur_ms``, ``codec``). Each operator is an actor-pool
 ``map_batches`` stage sized for LARGE rows (small ``batch_size`` — a batch
 × concurrency of multi-MB payloads must fit a worker heap).
 
-Real in this environment: WAV/PCM16 decode, audio features, and
-windowed-sinc resampling (pure numpy, sources/audio.py). Stubbed behind
-``NotImplementedError``: non-WAV codecs and video frame-sampling — the
-Ray-side plumbing (schema, batch sizing, actor signature, output layout)
-is identical and tested via the WAV path.
+Real in this environment: WAV/PCM16 decode, audio features, windowed-sinc
+resampling (pure numpy, sources/audio.py), and rawv1 video frame sampling
+(sources/video.py). Stubbed behind ``NotImplementedError``: external
+codecs only (non-WAV audio, h264/vp9 video) — the Ray-side plumbing
+(schema, batch sizing, actor signature, output layout) is identical and
+tested via the WAV / rawv1 paths.
 """
 
 from __future__ import annotations
@@ -115,16 +116,50 @@ class Resampler:
 
 
 class FrameSampler:
-    """STUB: video frame sampling (no video libs in this container). The
-    actor signature and output layout (one row per sampled frame with
-    ``frame_idx``/``frame_bytes``) are the real contract."""
+    """Video frame sampling: one output row per sampled frame
+    (``frame_idx``, ``frame_bytes`` RGB24, ``width``, ``height``), id
+    column passed through. Real for the ``rawv1`` container
+    (sources/video.py — random-access decode, so cost is O(sampled
+    frames) not O(all frames)); external codecs (h264/vp9/...) raise
+    ``NotImplementedError`` at this seam — plug pyav/decord in on a real
+    cluster."""
 
-    def __init__(self, every_n_frames: int = 30):
+    def __init__(self, every_n_frames: int = 30, id_col: str = "clip_id"):
         self.every_n = every_n_frames
+        self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        raise NotImplementedError(
-            "FrameSampler is a stub: plug pyav/decord into this seam."
+        from ..sources.video import (
+            SUPPORTED_VIDEO_CODEC,
+            decode_rawv1_frame,
+            decode_rawv1_header,
+        )
+
+        ids, fidx, fbytes, ws, hs = [], [], [], [], []
+        payloads = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        id_vals = t[self.id_col].to_pylist()
+        for rid, data, codec in zip(id_vals, payloads, codecs):
+            if codec != SUPPORTED_VIDEO_CODEC:
+                raise NotImplementedError(
+                    f"codec {codec!r}: only {SUPPORTED_VIDEO_CODEC!r} decodes "
+                    "in this container; plug pyav/decord into this seam."
+                )
+            w, h, _fps, n = decode_rawv1_header(data)
+            for i in range(0, n, self.every_n):
+                ids.append(rid)
+                fidx.append(i)
+                fbytes.append(decode_rawv1_frame(data, i).tobytes())
+                ws.append(w)
+                hs.append(h)
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, type=t[self.id_col].type),
+                "frame_idx": pa.array(fidx, type=pa.int32()),
+                "frame_bytes": pa.array(fbytes, type=pa.binary()),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
+            }
         )
 
 
@@ -135,6 +170,26 @@ def audio_features(
     # binary rows are wide: small batches so batch × concurrency fits heap
     return stage_map_batches(
         ds, AudioFeatures, (), config, batch_format="pyarrow", batch_size=256
+    )
+
+
+def sample_frames(
+    ds: "ray.data.Dataset",
+    every_n_frames: int = 30,
+    id_col: str = "clip_id",
+    config: Optional[EngineConfig] = None,
+) -> "ray.data.Dataset":
+    """Sample every Nth frame from each video payload — one output row per
+    frame. Very wide rows (raw RGB frames): tiny batches so batch ×
+    concurrency × frame fan-out fits a worker heap."""
+    config = config or EngineConfig()
+    return stage_map_batches(
+        ds,
+        FrameSampler,
+        (every_n_frames, id_col),
+        config,
+        batch_format="pyarrow",
+        batch_size=32,
     )
 
 

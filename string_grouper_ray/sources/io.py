@@ -50,3 +50,62 @@ def write_table(ds: "ray.data.Dataset", path: str, **kwargs) -> None:
         ds.write_lance(path, **kwargs)
         return
     ds.write_parquet(path, **kwargs)
+
+
+def read_table_with_row_idx(
+    path: str, columns: Optional[List[str]] = None
+) -> Optional["ray.data.Dataset"]:
+    """Parquet read with a global, deterministic, dense ``row_idx`` column —
+    WITHOUT the ``zip(range(n))`` barrier (count pass + zip block alignment
+    + repartition cost ~40 s at 1M rows and is parallelism-independent,
+    i.e. pure serial floor for the scaling criterion).
+
+    Offsets come from parquet footers only (driver-side, O(files) metadata
+    reads, no data I/O); one read task per row-group then emits
+    ``row_idx = group_offset + arange(rows)``. Returns None when ``path``
+    is not plain parquet (Lance/CSV callers fall back to the zip path).
+    """
+    import glob as _glob
+
+    if _is_lance_path(path) or path.endswith(".csv"):
+        return None
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    elif path.endswith(".parquet"):
+        files = [path]
+    else:
+        return None
+    if not files:
+        return None
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    items = []
+    offset = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            rows = meta.row_group(rg).num_rows
+            items.append({"file": f, "row_group": rg, "offset": offset})
+            offset += rows
+
+    cols = columns
+
+    def read_group(t: pa.Table) -> pa.Table:
+        out = []
+        for file, rg, off in zip(
+            t["file"].to_pylist(), t["row_group"].to_pylist(), t["offset"].to_pylist()
+        ):
+            g = pq.ParquetFile(file).read_row_group(rg, columns=cols)
+            out.append(
+                g.append_column(
+                    "row_idx", pa.array(off + np.arange(len(g), dtype=np.int64))
+                )
+            )
+        return pa.concat_tables(out)
+
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        read_group, batch_format="pyarrow", batch_size=1
+    )

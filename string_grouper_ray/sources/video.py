@@ -1,0 +1,70 @@
+"""Minimal raw-video container (codec ``rawv1``) — pure numpy/stdlib.
+
+No video libraries exist in this container, but frame *sampling* does not
+need one: this module defines a deterministic uncompressed container
+(little-endian header + concatenated RGB24 frames) so the Ray-side frame
+pipeline (schema, actor signature, one-row-per-frame output layout,
+wide-row batch sizing) is real and tested end-to-end. External codecs
+(h264/vp9/...) remain behind a clearly-marked ``NotImplementedError`` seam
+in :class:`~string_grouper_ray.pipelines.multimodal.FrameSampler` — plug
+pyav/decord in there on a real cluster.
+
+Layout of a ``rawv1`` payload::
+
+    magic   4 bytes  b"RWV1"
+    width   uint16 LE
+    height  uint16 LE
+    fps     uint16 LE
+    nframes uint32 LE
+    frames  nframes * width * height * 3 bytes (RGB24, frame-major)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+RAWV1_MAGIC = b"RWV1"
+_HEADER = struct.Struct("<4sHHHI")
+
+SUPPORTED_VIDEO_CODEC = "rawv1"
+
+
+def encode_rawv1(frames: np.ndarray, fps: int) -> bytes:
+    """Pack ``frames`` (nframes, height, width, 3) uint8 into a rawv1 blob."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) uint8 frames, got {frames.shape}")
+    n, h, w, _ = frames.shape
+    return _HEADER.pack(RAWV1_MAGIC, w, h, fps, n) + frames.tobytes()
+
+
+def decode_rawv1_header(data: bytes) -> tuple[int, int, int, int]:
+    """Return (width, height, fps, nframes) without touching frame bytes."""
+    magic, w, h, fps, n = _HEADER.unpack_from(data, 0)
+    if magic != RAWV1_MAGIC:
+        raise ValueError("not a rawv1 payload")
+    return w, h, fps, n
+
+
+def decode_rawv1_frame(data: bytes, frame_idx: int) -> np.ndarray:
+    """Random-access decode of ONE frame (h, w, 3) uint8 — the property that
+    makes sampled decode O(sampled) instead of O(all frames)."""
+    w, h, fps, n = decode_rawv1_header(data)
+    if not 0 <= frame_idx < n:
+        raise IndexError(f"frame {frame_idx} out of range [0, {n})")
+    frame_size = w * h * 3
+    off = _HEADER.size + frame_idx * frame_size
+    buf = np.frombuffer(data, dtype=np.uint8, count=frame_size, offset=off)
+    return buf.reshape(h, w, 3)
+
+
+def synth_video(video_id: int, n_frames: int = 48, w: int = 32, h: int = 24, fps: int = 24) -> bytes:
+    """Deterministic synthetic clip for tests/fixtures: a per-video seeded
+    gradient animated over time (content depends only on video_id)."""
+    rng = np.random.RandomState(video_id & 0x7FFFFFFF)
+    base = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    t = np.arange(n_frames, dtype=np.uint16)[:, None, None, None]
+    frames = ((base[None].astype(np.uint16) + 3 * t) % 256).astype(np.uint8)
+    return encode_rawv1(frames, fps)

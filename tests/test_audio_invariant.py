@@ -175,3 +175,75 @@ def test_resampler_stage_end_to_end():
         )
         expect = len(orig_pcm) * 8000 / orig_sr
         assert abs(len(pcm) - expect) <= 2
+
+
+def test_rawv1_codec_roundtrip():
+    from string_grouper_ray.sources.video import (
+        decode_rawv1_frame,
+        decode_rawv1_header,
+        encode_rawv1,
+        synth_video,
+    )
+
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 256, size=(7, 12, 10, 3), dtype=np.uint8)
+    blob = encode_rawv1(frames, fps=24)
+    assert decode_rawv1_header(blob) == (10, 12, 24, 7)
+    for i in (0, 3, 6):
+        assert np.array_equal(decode_rawv1_frame(blob, i), frames[i])
+    # deterministic synth: same id -> identical bytes
+    assert synth_video(5) == synth_video(5)
+    assert synth_video(5) != synth_video(6)
+
+
+def test_frame_sampler_stage_end_to_end():
+    import pyarrow as pa
+
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import sample_frames
+    from string_grouper_ray.sources.video import decode_rawv1_frame, synth_video
+
+    vids = [synth_video(i, n_frames=10 + i) for i in range(6)]
+    t = pa.table(
+        {
+            "clip_id": pa.array(list(range(6)), type=pa.int64()),
+            "bytes": pa.array(vids, type=pa.binary()),
+            "codec": pa.array(["rawv1"] * 6),
+        }
+    )
+    out = sample_frames(
+        ray.data.from_arrow(t), every_n_frames=4,
+        config=EngineConfig(use_actor_pools=False, concurrency=2),
+    ).to_pandas()
+    # one row per sampled frame: ceil(n_frames / 4) per clip
+    expect_rows = sum(-(-(10 + i) // 4) for i in range(6))
+    assert len(out) == expect_rows
+    assert set(out.columns) == {"clip_id", "frame_idx", "frame_bytes", "width", "height"}
+    # sampled frame bytes match random-access decode of the source payload
+    row = out[(out["clip_id"] == 3) & (out["frame_idx"] == 8)].iloc[0]
+    assert row["frame_bytes"] == decode_rawv1_frame(vids[3], 8).tobytes()
+    assert (row["width"], row["height"]) == (32, 24)
+
+
+def test_frame_sampler_unknown_codec_raises():
+    import pyarrow as pa
+
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import sample_frames
+
+    t = pa.table(
+        {
+            "clip_id": pa.array([0], type=pa.int64()),
+            "bytes": pa.array([b"xxxx"], type=pa.binary()),
+            "codec": pa.array(["h264"]),
+        }
+    )
+    with pytest.raises(Exception, match="h264"):
+        sample_frames(
+            ray.data.from_arrow(t),
+            config=EngineConfig(use_actor_pools=False, concurrency=1),
+        ).to_pandas()
