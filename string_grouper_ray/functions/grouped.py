@@ -68,11 +68,25 @@ def bucketed_group_map(
     def tag(t: pa.Table) -> pa.Table:
         return t.append_column(_BUCKET, _bucket_of(t, keys, num_buckets))
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(g.drop(columns=[_BUCKET]))
+    # Bundle small input blocks into ~512k-row map tasks: Ray's sort shuffle
+    # creates input_blocks × num_partitions intermediate objects, so a
+    # fragmented input (e.g. a union of several materialized stages at ~20k
+    # rows/block) multiplies scheduling/metadata cost ~10× (measured 14 s →
+    # 200 s on an identical 23M-row dedup). Safe row-based bound: every
+    # caller of this primitive shuffles NARROW rows (ids, keys, packed
+    # membersets) — wide-payload joins go through shuffle_join instead.
+
+    def run(g: pd.DataFrame) -> pa.Table:
+        # return ARROW, not the pandas frame: pandas blocks are pickled in
+        # the object store (no zero-copy) and a dataset mixing pandas blocks
+        # with arrow ones from sibling stages breaks repartition and slows
+        # every downstream shuffle ~10× (observed on the 4M-row flagship)
+        return pa.Table.from_pandas(
+            bucket_fn(g.drop(columns=[_BUCKET])), preserve_index=False
+        )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=524_288)
         .groupby(_BUCKET, num_partitions=num_buckets)
         .map_groups(run, batch_format="pandas")
     )
@@ -125,11 +139,13 @@ def groupby_agg(
     out_col = out_col or (f"{agg}({col})" if col is not None else "count()")
     combine_agg = "sum" if agg == "count" else agg
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         if agg == "count":
-            return df.groupby(key, sort=False).size().reset_index(name=out_col)
-        g = df.groupby(key, sort=False, as_index=False)[col].agg(agg)
-        return g.rename(columns={col: out_col})
+            out = df.groupby(key, sort=False).size().reset_index(name=out_col)
+        else:
+            out = df.groupby(key, sort=False, as_index=False)[col].agg(agg)
+            out = out.rename(columns={col: out_col})
+        return pa.Table.from_pandas(out, preserve_index=False)  # arrow blocks
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(key, sort=False, as_index=False)[out_col].agg(combine_agg)

@@ -196,7 +196,12 @@ def shuffle_join(
         for c in int_cols:
             if c in merged.columns and merged[c].dtype.kind == "f":
                 merged[c] = merged[c].astype("Int64")
-        return merged[[c for c in out_cols if c in merged.columns]]
+        # arrow output: zero-copy blocks, homogeneous block type downstream
+        # (see functions/grouped.py run())
+        return pa.Table.from_pandas(
+            merged[[c for c in out_cols if c in merged.columns]],
+            preserve_index=False,
+        )
 
     return tagged.groupby(_BUCKET_COL, num_partitions=num_buckets).map_groups(
         merge_bucket, batch_format="pandas"

@@ -224,9 +224,12 @@ def match_edges(
     """
     config = config or EngineConfig()
     self_join = right is None
+    from ..stages.lsh import _tmark
+    _tmark("match_edges_start")
     if vocab is None:
         vocab = fit_vocabulary([left] if self_join else [left, right], text_col, config)
     vocab_ref = ray.put(vocab)
+    _tmark("fit_vocabulary")
 
     if config.strategy == "lsh":
         from ..stages.lsh import lsh_match_edges
@@ -263,7 +266,15 @@ def match_edges(
             # dedup shuffle of symmetrize_edges are redundant here.
             edges = force_diagonal(edges, left)
         else:
+            import os as _os
+
+            if _os.environ.get("SGR_PROFILE"):
+                edges = edges.materialize()
+                _tmark("pre_symmetrize(topk)")
             edges = symmetrize_edges(edges, left, config)
+            if _os.environ.get("SGR_PROFILE"):
+                edges = edges.materialize()
+                _tmark("symmetrize")
     return edges, vocab
 
 

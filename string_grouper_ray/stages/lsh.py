@@ -417,10 +417,18 @@ class _PairsFromMembersets:
                 gi, gj = gi.reshape(-1), gj.reshape(-1)
                 outs.append(self._finish(lhs[gi], rhs[gj], lss[gi], rss[gj]))
         if not outs:
-            return pd.DataFrame(
-                {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
+            return pa.table(
+                {
+                    "left_idx": pa.array([], type=pa.int64()),
+                    "right_idx": pa.array([], type=pa.int64()),
+                }
             )
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+        # arrow out: pair volume is the pipeline's peak row count, and pandas
+        # blocks are pickled into the object store instead of zero-copy
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True).drop_duplicates(),
+            preserve_index=False,
+        )
 
     def _finish(self, a, b, sa, sb) -> pd.DataFrame:
         if self.cross:
@@ -653,6 +661,20 @@ def _exact_dup_collapse(
     return rep_map, exact_edges
 
 
+
+
+def _tmark(label: str, t0=[None]):
+    """Env-gated stage timer (SGR_PROFILE=1): prints elapsed since the
+    previous mark. Zero cost when the variable is unset."""
+    import os, time
+
+    if not os.environ.get("SGR_PROFILE"):
+        return
+    now = time.time()
+    if t0[0] is not None:
+        print(f"    [lsh] {label}: {now - t0[0]:.1f}s", flush=True)
+    t0[0] = now
+
 def lsh_match_edges(
     left: "ray.data.Dataset",
     right: Optional["ray.data.Dataset"],
@@ -662,12 +684,13 @@ def lsh_match_edges(
 ) -> "ray.data.Dataset":
     """MinHash/LSH candidates → exact-cosine verify → top-N edge list."""
     cross = right is not None
+    _tmark("start")
 
     exact_edges = None
     if config.exact_dup_shortcircuit and not cross:
         rep_map, exact_edges = _exact_dup_collapse(left, config, text_col)
         n_rows = left.count()
-        if n_rows <= config.verify_broadcast_max_rows:
+        if n_rows <= config.rep_broadcast_max_rows:
             # broadcast the rep id set; filter is a map, not a join barrier
             from ..functions.collect import collect_columns
 
@@ -712,11 +735,13 @@ def lsh_match_edges(
                 batch_format="pyarrow",
             ).materialize()
 
+    _tmark("exact_dup_collapse+rep_filter")
     # 1. band rows
     banded = _band_rows(left, config, text_col, side=0)
     if cross:
         banded = banded.union(_band_rows(right, config, text_col, side=1))
     banded = banded.materialize()
+    _tmark("band_rows")
 
     # 2. hot-bucket census → broadcast salt map {band_key: n_chunks}
     from ..functions.grouped import groupby_agg
@@ -733,6 +758,7 @@ def lsh_match_edges(
         for r in hot_rows
     }
     hot_ref = ray.put(hot)
+    _tmark("hot_census")
 
     from ..functions.stagemap import stage_map_batches
 
@@ -761,7 +787,8 @@ def lsh_match_edges(
         batch_format="pandas",
         batch_size=8192,
     )
-    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
+    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"]).materialize()
+    _tmark("membersets+pairs")
 
     # 5. verify: exact cosine on candidate pairs.
     #    broadcast mode (vectors fit the object store): pack all vectors into
@@ -825,6 +852,7 @@ def lsh_match_edges(
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N
     if not cross:
         verified = verified.materialize()  # consumed twice (self + mirror)
+        _tmark("verify")
         mirrored = verified.map_batches(
             lambda t: pa.table(
                 {
