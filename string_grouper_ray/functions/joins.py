@@ -61,11 +61,13 @@ class _BroadcastMerger:
         self.right_on = right_on
         self.how = how
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        merged = batch.merge(
             self.small, left_on=self.on, right_on=self.right_on,
             how=("left" if self.how == "left" else "inner"),
         )
+        # arrow out (see functions/grouped.py run())
+        return pa.Table.from_pandas(merged, preserve_index=False)
 
 
 def broadcast_join(

@@ -109,9 +109,12 @@ def knn_brute_force(
         batch_format="pyarrow", batch_size=config.batch_size,
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        return g[["query_id", "vec_id", "cosine"]]
+        # arrow out (see functions/grouped.py run())
+        return pa.Table.from_pandas(
+            g[["query_id", "vec_id", "cosine"]], preserve_index=False
+        )
 
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
@@ -333,9 +336,12 @@ def knn_ivf(
         batch_format="pyarrow", batch_size=config.batch_size,
     )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+    def final_topk(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        return g[["query_id", "vec_id", "cosine"]]
+        # arrow out (see functions/grouped.py run())
+        return pa.Table.from_pandas(
+            g[["query_id", "vec_id", "cosine"]], preserve_index=False
+        )
 
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
@@ -559,13 +565,13 @@ def _near_dup_pairs_lsh(
         rv = np.vstack([np.frombuffer(b, dtype=np.float64) for b in batch["rvec"]]) \
             if len(batch) else np.zeros((0, 1))
         cos = np.einsum("ij,ij->i", lv, rv) if len(batch) else np.empty(0)
-        out = pd.DataFrame(
+        keep = cos >= threshold
+        return pa.table(  # arrow out (see functions/grouped.py run())
             {
-                "left_id": batch["left_idx"].to_numpy(dtype=np.int64),
-                "right_id": batch["right_idx"].to_numpy(dtype=np.int64),
-                "cosine": cos,
+                "left_id": pa.array(batch["left_idx"].to_numpy(dtype=np.int64)[keep]),
+                "right_id": pa.array(batch["right_idx"].to_numpy(dtype=np.int64)[keep]),
+                "cosine": pa.array(cos[keep].astype(np.float64)),
             }
         )
-        return out[out["cosine"] >= threshold]
 
     return withlr.map_batches(verify, batch_format="pandas", batch_size=65536)

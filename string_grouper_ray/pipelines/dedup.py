@@ -81,14 +81,14 @@ class _ShingleJaccardVerify:
             inter = len(np.intersect1d(a, b, assume_unique=True))
             union = len(a) + len(b) - inter
             sims[i] = inter / union if union else 0.0
-        out = pd.DataFrame(
+        keep = sims >= self.threshold
+        return pa.table(  # arrow out (see functions/grouped.py run())
             {
-                "left_idx": batch["left_idx"].to_numpy(dtype=np.int64),
-                "right_idx": batch["right_idx"].to_numpy(dtype=np.int64),
-                "similarity": sims,
+                "left_idx": pa.array(batch["left_idx"].to_numpy(dtype=np.int64)[keep]),
+                "right_idx": pa.array(batch["right_idx"].to_numpy(dtype=np.int64)[keep]),
+                "similarity": pa.array(sims[keep]),
             }
         )
-        return out[out["similarity"] >= self.threshold]
 
 
 class _ShingleColumn:
@@ -485,7 +485,12 @@ def ngram_jaccard_pairs(
 
     # per-pair intersection counts: map-side partial count, bucketed combine
     def partial_count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["left_idx", "right_idx"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(  # arrow out (see functions/grouped.py run())
+            df.groupby(["left_idx", "right_idx"], sort=False)
+            .size()
+            .reset_index(name="n"),
+            preserve_index=False,
+        )
 
     def combine_count(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["left_idx", "right_idx"], sort=False, as_index=False)["n"].sum()

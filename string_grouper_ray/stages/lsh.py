@@ -589,14 +589,14 @@ class _VerifyCosine:
         r_csr = CSRBatch.from_lists(r_ids, r_ws, n_cols)
         arange = np.arange(len(batch), dtype=np.int64)
         sims = pair_dots(l_csr, r_csr, arange, arange)
-        out = pd.DataFrame(
+        keep = sims >= max(self.threshold, 1e-300)
+        return pa.table(  # arrow out (see functions/grouped.py run())
             {
-                "left_idx": batch["left_idx"].to_numpy(dtype=np.int64),
-                "right_idx": batch["right_idx"].to_numpy(dtype=np.int64),
-                "similarity": sims,
+                "left_idx": pa.array(batch["left_idx"].to_numpy(dtype=np.int64)[keep]),
+                "right_idx": pa.array(batch["right_idx"].to_numpy(dtype=np.int64)[keep]),
+                "similarity": pa.array(sims[keep].astype(np.float64)),
             }
         )
-        return out[out["similarity"] >= max(self.threshold, 1e-300)]
 
 
 class _NormHash:
