@@ -537,6 +537,48 @@ def _q_frame_sample(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_frame_pipeline(sf_dir: str):
+    """Full video-frame chain: sample → bilinear resize to 16×16 → grid
+    mean-RGB features (one row per frame, list<float64> feature column;
+    rows-only gate)."""
+    import numpy as np
+
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import (
+        frame_features,
+        resize_frames,
+        sample_frames,
+    )
+    from string_grouper_ray.sources.video import synth_video
+
+    n = 48
+    table = pa.table(
+        {
+            "clip_id": pa.array(np.arange(n, dtype=np.int64)),
+            "bytes": pa.array(
+                [synth_video(i, n_frames=36) for i in range(n)], type=pa.binary()
+            ),
+            "codec": pa.array(["rawv1"] * n),
+        }
+    )
+    cfg = _cfg(use_actor_pools=False)
+    frames = sample_frames(ray.data.from_arrow(table), every_n_frames=12, config=cfg)
+    feats = frame_features(resize_frames(frames, 16, 16, cfg), grid=4, config=cfg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = np.array([float(np.mean(f)) for f in t["frame_feat"].to_pylist()])
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "frame_idx": t["frame_idx"],
+                "feat_mean": _round(pa.array(m), 3),
+            }
+        )
+
+    return feats.map_batches(finish, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -581,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _q_audio_features,
         "audio_resample": _q_audio_resample,
         "frame_sample": _q_frame_sample,
+        "frame_pipeline": _q_frame_pipeline,
     }
 
 

@@ -193,6 +193,73 @@ def sample_frames(
     )
 
 
+class FrameResizer:
+    """Resize sampled frames (``frame_bytes`` RGB24 + width/height) to a
+    fixed (out_h, out_w) — pure-numpy bilinear (sources/video.py); swap a
+    SIMD image lib in at the same seam on a real cluster."""
+
+    def __init__(self, out_h: int, out_w: int):
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..sources.video import resize_bilinear
+
+        ws = t["width"].to_numpy(zero_copy_only=False)
+        hs = t["height"].to_numpy(zero_copy_only=False)
+        out = []
+        for fb, w, h in zip(t["frame_bytes"].to_pylist(), ws, hs):
+            frame = np.frombuffer(fb, dtype=np.uint8).reshape(int(h), int(w), 3)
+            out.append(resize_bilinear(frame, self.out_h, self.out_w).tobytes())
+        cols = {name: t[name] for name in t.column_names}
+        cols["frame_bytes"] = pa.array(out, type=pa.binary())
+        cols["width"] = pa.array(np.full(len(t), self.out_w, dtype=np.int32))
+        cols["height"] = pa.array(np.full(len(t), self.out_h, dtype=np.int32))
+        return pa.table(cols)
+
+
+class FrameFeatures:
+    """Per-frame grid-mean-RGB feature vector (``list<float64>`` column) —
+    the deterministic stand-in for batched CNN inference with the same
+    actor-pool signature and output contract."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..sources.video import frame_grid_features
+
+        ws = t["width"].to_numpy(zero_copy_only=False)
+        hs = t["height"].to_numpy(zero_copy_only=False)
+        feats = []
+        for fb, w, h in zip(t["frame_bytes"].to_pylist(), ws, hs):
+            frame = np.frombuffer(fb, dtype=np.uint8).reshape(int(h), int(w), 3)
+            feats.append(frame_grid_features(frame, self.grid))
+        out = t.drop_columns(["frame_bytes"])
+        return out.append_column(
+            "frame_feat", pa.array([f.tolist() for f in feats], type=pa.list_(pa.float64()))
+        )
+
+
+def resize_frames(
+    ds: "ray.data.Dataset", out_h: int, out_w: int,
+    config: Optional[EngineConfig] = None,
+) -> "ray.data.Dataset":
+    config = config or EngineConfig()
+    return stage_map_batches(
+        ds, FrameResizer, (out_h, out_w), config, batch_format="pyarrow", batch_size=64
+    )
+
+
+def frame_features(
+    ds: "ray.data.Dataset", grid: int = 4, config: Optional[EngineConfig] = None
+) -> "ray.data.Dataset":
+    config = config or EngineConfig()
+    return stage_map_batches(
+        ds, FrameFeatures, (grid,), config, batch_format="pyarrow", batch_size=64
+    )
+
+
 def resample_audio(
     ds: "ray.data.Dataset", target_sr: int, config: Optional[EngineConfig] = None
 ) -> "ray.data.Dataset":

@@ -68,3 +68,43 @@ def synth_video(video_id: int, n_frames: int = 48, w: int = 32, h: int = 24, fps
     t = np.arange(n_frames, dtype=np.uint16)[:, None, None, None]
     frames = ((base[None].astype(np.uint16) + 3 * t) % 256).astype(np.uint8)
     return encode_rawv1(frames, fps)
+
+
+def resize_bilinear(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Bilinear resize of an (h, w, 3) uint8 frame — pure numpy, fully
+    vectorized (the image-library-free path; swap in cv2/PIL at the same
+    seam on a real cluster for SIMD decode formats)."""
+    h, w, _ = frame.shape
+    if (h, w) == (out_h, out_w):
+        return frame.copy()
+    # sample positions using the half-pixel convention
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    f = frame.astype(np.float64)
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def frame_grid_features(frame: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Mean-RGB over a grid × grid cell partition → (grid*grid*3,) float64
+    feature vector (a deterministic, library-free stand-in for a CNN
+    embedding with the same output contract)."""
+    h, w, _ = frame.shape
+    ge_h = np.linspace(0, h, grid + 1).astype(np.int64)
+    ge_w = np.linspace(0, w, grid + 1).astype(np.int64)
+    out = np.empty((grid, grid, 3), dtype=np.float64)
+    f = frame.astype(np.float64)
+    for i in range(grid):
+        for j in range(grid):
+            cell = f[ge_h[i]:max(ge_h[i + 1], ge_h[i] + 1),
+                     ge_w[j]:max(ge_w[j + 1], ge_w[j] + 1)]
+            out[i, j] = cell.mean(axis=(0, 1))
+    return out.reshape(-1)

@@ -247,3 +247,47 @@ def test_frame_sampler_unknown_codec_raises():
             ray.data.from_arrow(t),
             config=EngineConfig(use_actor_pools=False, concurrency=1),
         ).to_pandas()
+
+
+def test_resize_bilinear_properties():
+    from string_grouper_ray.sources.video import frame_grid_features, resize_bilinear
+
+    rng = np.random.RandomState(7)
+    frame = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    # identity at same size
+    assert np.array_equal(resize_bilinear(frame, 24, 32), frame)
+    # constant image stays constant under any resize
+    flat = np.full((24, 32, 3), 77, dtype=np.uint8)
+    assert (resize_bilinear(flat, 9, 13) == 77).all()
+    # 2x down of a 2x-block-upsampled image recovers the original exactly
+    up = np.kron(frame, np.ones((2, 2, 1), dtype=np.uint8).astype(np.uint8))
+    down = resize_bilinear(up.astype(np.uint8), 24, 32)
+    assert np.array_equal(down, frame)
+    # grid features of a constant image are that constant
+    v = frame_grid_features(flat, grid=4)
+    assert np.allclose(v, 77.0)
+
+
+def test_frame_resize_and_features_stages():
+    import pyarrow as pa
+
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import (
+        frame_features, resize_frames, sample_frames)
+    from string_grouper_ray.sources.video import synth_video
+
+    t = pa.table(
+        {
+            "clip_id": pa.array(list(range(4)), type=pa.int64()),
+            "bytes": pa.array([synth_video(i, n_frames=12) for i in range(4)], type=pa.binary()),
+            "codec": pa.array(["rawv1"] * 4),
+        }
+    )
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    frames = sample_frames(ray.data.from_arrow(t), every_n_frames=6, config=cfg)
+    out = frame_features(resize_frames(frames, 16, 16, cfg), grid=4, config=cfg).to_pandas()
+    assert len(out) == 4 * 2  # frames 0 and 6 per clip
+    assert (out["width"] == 16).all() and (out["height"] == 16).all()
+    assert all(len(f) == 48 for f in out["frame_feat"])
