@@ -521,3 +521,34 @@ def test_knn_ivf_recall_and_exact_degenerate():
     ).to_pandas()
     fu = set(zip(full["query_id"], full["vec_id"]))
     assert fu == ex
+
+
+def test_read_table_with_row_idx_matches_zip_order():
+    """Footer-offset row_idx must assign exactly the ids the zip(range)
+    path would: same file listing order, dense 0..n-1, aligned per row."""
+    import pyarrow.parquet as pq
+
+    from string_grouper_ray.pipelines.clipdedup import add_row_idx
+    from string_grouper_ray.sources.io import read_table_with_row_idx
+
+    path = "/root/testdata/sf0.001/part.parquet"
+    via_footer = (
+        read_table_with_row_idx(path, columns=["p_partkey", "p_name"])
+        .to_pandas()
+        .sort_values("row_idx")
+        .reset_index(drop=True)
+    )
+    base = ray.data.read_parquet(path, columns=["p_partkey", "p_name"])
+    via_zip = (
+        add_row_idx(base, base.count())
+        .to_pandas()
+        .sort_values("row_idx")
+        .reset_index(drop=True)
+    )
+    n = pq.ParquetFile(path).metadata.num_rows
+    assert list(via_footer["row_idx"]) == list(range(n))
+    assert via_footer["p_partkey"].tolist() == via_zip["p_partkey"].tolist()
+    assert via_footer["p_name"].tolist() == via_zip["p_name"].tolist()
+
+    # non-parquet inputs signal fallback
+    assert read_table_with_row_idx("/tmp/nope.csv") is None
