@@ -552,3 +552,59 @@ def test_read_table_with_row_idx_matches_zip_order():
 
     # non-parquet inputs signal fallback
     assert read_table_with_row_idx("/tmp/nope.csv") is None
+
+
+def test_group_assignments_dedup_edges_all_routes_agree():
+    """dedup_edges=True must max-merge duplicate (l, r) edge rows with
+    identical results on the driver numpy route, the distributed route, and
+    vs a pre-deduped edge list (centroid reps are weight-sum-sensitive, so
+    double-counted duplicates would move representatives)."""
+    from string_grouper_ray.functions.grouped import dedup_pairs
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    rng = np.random.RandomState(5)
+    n = 60
+    nodes = pa.table(
+        {
+            "row_idx": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array([f"t{i}" for i in range(n)]),
+        }
+    )
+    l = rng.randint(0, n, 400).astype(np.int64)
+    r = rng.randint(0, n, 400).astype(np.int64)
+    sim = np.round(rng.rand(400), 3)
+    # duplicates with DIFFERENT similarities: max must win everywhere
+    edges_t = pa.table(
+        {
+            "left_idx": pa.array(np.concatenate([l, l[:150]])),
+            "right_idx": pa.array(np.concatenate([r, r[:150]])),
+            "similarity": pa.array(np.concatenate([sim, np.round(sim[:150] * 0.5, 3)])),
+        }
+    )
+    ds = ray.data.from_arrow(nodes)
+    cfg = CFG
+
+    def run(**kw):
+        return (
+            group_assignments(ds, cfg, None, "text", edges=ray.data.from_arrow(edges_t), **kw)
+            .to_pandas()
+            .sort_values("row_idx")
+            .reset_index(drop=True)
+        )
+
+    driver = run(dedup_edges=True)
+    distributed = run(dedup_edges=True, force_distributed=True)
+    prededuped = (
+        group_assignments(
+            ds, cfg, None, "text",
+            edges=dedup_pairs(
+                ray.data.from_arrow(edges_t), ["left_idx", "right_idx"], agg_col="similarity"
+            ),
+        )
+        .to_pandas()
+        .sort_values("row_idx")
+        .reset_index(drop=True)
+    )
+    for col in ["group_id", "group_rep_idx"]:
+        assert driver[col].tolist() == prededuped[col].tolist()
+        assert driver[col].tolist() == distributed[col].tolist()
