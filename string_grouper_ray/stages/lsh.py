@@ -470,24 +470,53 @@ def collect_row_csr(
 
     from ..sparse import CSRBatch, _gather_positions
 
+    # Flatten PARALLEL (map_batches), then assemble on the driver from the
+    # materialized block refs — plasma reads are zero-copy on the local
+    # node, so the driver pays only frombuffer + concat + argsort + gather.
+    # The previous iter_batches stream flattened serially on the driver
+    # (~8.5 s per 1M rows of parallelism-independent wall vs ~3 s here;
+    # back-to-back A/B in one session). Each batch flattens to ONE output
+    # row of four binary blobs (row ids, per-row lengths, flat term ids,
+    # flat weights) — concatenation-safe however Ray bundles blocks.
+    def flatten_block(t: pa.Table) -> pa.Table:
+        tcol = t["term_ids"]
+        rows = t["row_idx"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(tcol).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        terms = pc.list_flatten(tcol).cast(pa.int32()).to_numpy(zero_copy_only=False)
+        ws = pc.list_flatten(t["term_weights"]).cast(pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "rows": pa.array([rows.tobytes()], type=pa.binary()),
+                "lens": pa.array([lens.tobytes()], type=pa.binary()),
+                "terms": pa.array([terms.tobytes()], type=pa.binary()),
+                "ws": pa.array([ws.tobytes()], type=pa.binary()),
+            }
+        )
+
+    refs = (
+        vec_ds.select_columns(["row_idx", "term_ids", "term_weights"])
+        .map_batches(flatten_block, batch_format="pyarrow", batch_size=65536)
+        .materialize()
+        .to_arrow_refs()
+    )
     row_parts: List[np.ndarray] = []
     len_parts: List[np.ndarray] = []
     term_parts: List[np.ndarray] = []
     w_parts: List[np.ndarray] = []
-    for batch in vec_ds.select_columns(["row_idx", "term_ids", "term_weights"]).iter_batches(
-        batch_size=batch_size, batch_format="pyarrow"
-    ):
-        row_parts.append(batch["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64))
-        tcol = batch["term_ids"]
-        len_parts.append(
-            pc.list_value_length(tcol).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        term_parts.append(
-            pc.list_flatten(tcol).to_numpy(zero_copy_only=False).astype(np.int32)
-        )
-        w_parts.append(
-            pc.list_flatten(batch["term_weights"]).to_numpy(zero_copy_only=False).astype(np.float64)
-        )
+    for tbl in ray.get(refs):
+        for i in range(len(tbl)):
+            row_parts.append(np.frombuffer(tbl["rows"][i].as_py(), dtype=np.int64))
+            len_parts.append(np.frombuffer(tbl["lens"][i].as_py(), dtype=np.int64))
+            term_parts.append(np.frombuffer(tbl["terms"][i].as_py(), dtype=np.int32))
+            w_parts.append(np.frombuffer(tbl["ws"][i].as_py(), dtype=np.float64))
+    # empty-batch members are harmless in np.concatenate; only guard the
+    # nothing-at-all case (and all-empty term lists, legal for empty texts)
+    term_parts = [p for p in term_parts if len(p)] or [np.empty(0, dtype=np.int32)]
+    w_parts = [p for p in w_parts if len(p)] or [np.empty(0, dtype=np.float64)]
+    row_parts = [p for p in row_parts if len(p)]
+    len_parts = [p for p in len_parts if len(p)]
     if not row_parts:
         return np.empty(0, dtype=np.int64), CSRBatch(
             indptr=np.zeros(1, dtype=np.int64),
