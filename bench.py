@@ -82,8 +82,15 @@ def run_headline() -> dict:
     return {"seconds": dt, "rows": n, "clips_per_sec": round(n / dt, 1)}
 
 
-def run_queries() -> dict:
-    """Time the operator families on the sf tables (one Ray session)."""
+def run_queries() -> tuple[dict, dict]:
+    """Time the operator families on the sf tables (one Ray session).
+
+    Each query runs ``$GRAFT_QUERY_REPEATS`` times (default 2) and the MIN is
+    reported — this sandbox shows ±30-50% wall noise from hypervisor steal,
+    so single observations mis-rank regressions (the r2 match_strings_part
+    "2.7x regression" was one 38 s observation of a query whose min-of-3 was
+    24 s). All raw times are kept in ``queries_all``.
+    """
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -103,22 +110,27 @@ def run_queries() -> dict:
         "token_counts_docs",
         "lang_id_docs",
     ]
+    repeats = int(os.environ.get("GRAFT_QUERY_REPEATS", "2"))
     qs = em.queries()
-    out = {}
+    out, out_all = {}, {}
     for name in chosen:
-        t0 = time.time()
-        res = qs[name](SF_DIR)
-        # consume
-        try:
-            import ray.data
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            res = qs[name](SF_DIR)
+            # consume
+            try:
+                import ray.data
 
-            if isinstance(res, ray.data.Dataset):
-                res.count()
-        except Exception:
-            pass
-        out[name] = round(time.time() - t0, 2)
+                if isinstance(res, ray.data.Dataset):
+                    res.count()
+            except Exception:
+                pass
+            times.append(round(time.time() - t0, 2))
+        out[name] = min(times)
+        out_all[name] = times
     ray.shutdown()
-    return out
+    return out, out_all
 
 
 def main():
@@ -164,12 +176,13 @@ def main():
         return
 
     headline = run_headline()
-    queries = {} if "--headline-only" in sys.argv else run_queries()
+    queries, queries_all = ({}, {}) if "--headline-only" in sys.argv else run_queries()
     print(json.dumps({
         "metric": "clip-table end-to-end near-dup dedup wall time",
         "value": round(headline["seconds"], 2),
         "unit": "sec",
         "queries": queries,
+        "queries_all": queries_all,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "clip_rows": headline["rows"],

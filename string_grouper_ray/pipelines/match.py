@@ -247,13 +247,29 @@ def match_edges(
         chunks = build_right_chunks(right_vec, config, vocab.size)
         from ..functions.stagemap import stage_map_batches
 
+        matcher_batch = config.batch_size
+        if self_join:
+            # The matcher's task count is the left side's block count, and the
+            # materialized self-join encode collapses to one block per
+            # ~batch_size bundle (5 blocks at 20k rows) — starving the CPU
+            # pool for exactly the inputs whose quadratic multiply needs it
+            # most (r2 bench regression: 38 s vs 14 s on sf0.1 part). Re-split
+            # to ~2 matcher tasks per CPU slot; batch_size must shrink with it
+            # or map_batches re-bundles the small blocks right back together.
+            want = max(1, config.resolve_concurrency() * 2)
+            matcher_batch = min(
+                config.batch_size, max(256, -(-max(chunks.n_rows, 1) // want))
+            )
+            n_blocks_want = -(-max(chunks.n_rows, 1) // matcher_batch)
+            if left_vec.num_blocks() < n_blocks_want:
+                left_vec = left_vec.repartition(n_blocks_want)
         edges = stage_map_batches(
             left_vec.select_columns(["row_idx", "term_ids", "term_weights"]),
             ExactTopKMatcher,
             (chunks.refs, vocab.size, config),
             config,
             batch_format="pyarrow",
-            batch_size=config.batch_size,
+            batch_size=matcher_batch,
         )
 
     if self_join and config.force_symmetries:

@@ -179,6 +179,28 @@ class Postings:
             row_offset=row_offset,
         )
 
+    @property
+    def n_cols(self) -> int:
+        return len(self.col_ptr) - 1
+
+    def dense(self) -> np.ndarray:
+        """Densified (n_cols × n_rows) float64 view, cached per process.
+
+        Used by the tiny-vocabulary gemm fast path of :func:`topn_multiply`;
+        only ever built when ``n_rows × n_cols`` fits the dense cutoff there.
+        The cache lives on the deserialized per-worker copy — it is never
+        re-pickled into the object store.
+        """
+        d = getattr(self, "_dense_t", None)
+        if d is None:
+            d = np.zeros((self.n_cols, self.n_rows), dtype=np.float64)
+            cols = np.repeat(
+                np.arange(self.n_cols, dtype=np.int64), np.diff(self.col_ptr)
+            )
+            d[cols, self.row_idx.astype(np.int64)] = self.weight
+            self._dense_t = d
+        return d
+
 
 def _gather_positions(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Flatten ranges [starts[i], starts[i]+lengths[i]) into one index array."""
@@ -197,6 +219,7 @@ def topn_multiply(
     threshold: float,
     topn: int,
     dense_budget: int = 4_000_000,
+    force_dense: "bool | None" = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Thresholded top-N product ``left @ rightᵀ`` (cosines, since rows are
     L2-normalized). Returns (left_row, right_row, similarity) triplets with
@@ -211,6 +234,25 @@ def topn_multiply(
     if n_right == 0 or left.n_rows == 0:
         e = np.empty(0)
         return e.astype(np.int64), e.astype(np.int64), e
+    # Tiny-vocabulary fast path: short strings over a small alphabet (e.g.
+    # ~100 distinct trigrams) make every posting list ~n_right/n_cols long,
+    # so the COO scatter-add below touches nnz_left × avg_posting elements —
+    # orders of magnitude more memory traffic than a dense gemm of the same
+    # product. When the densified right side is small (≤256 MB) and the gemm
+    # flop count undercuts the scatter volume, multiply dense sub-blocks via
+    # BLAS instead. Semantics are identical: all tf-idf weights are strictly
+    # positive, so dot > 0 iff the rows share a term — the >= tiny threshold
+    # below excludes structural zeros either way.
+    n_cols = right.n_cols
+    use_dense = False
+    if n_right * n_cols <= 32_000_000 and len(left.indices):
+        terms_all = left.indices.astype(np.int64)
+        pairs_total = int(
+            (right.col_ptr[terms_all + 1] - right.col_ptr[terms_all]).sum()
+        )
+        use_dense = left.n_rows * n_cols * n_right < pairs_total * 16
+    if force_dense is not None:
+        use_dense = force_dense
     sub = max(1, min(left.n_rows, dense_budget // max(1, n_right)))
     out_l: List[np.ndarray] = []
     out_r: List[np.ndarray] = []
@@ -218,24 +260,29 @@ def topn_multiply(
     for start in range(0, left.n_rows, sub):
         stop = min(start + sub, left.n_rows)
         lo, hi = left.indptr[start], left.indptr[stop]
-        terms = left.indices[lo:hi]
+        terms = left.indices[lo:hi].astype(np.int64)
         vals = left.data[lo:hi]
         rows_local = np.repeat(
             np.arange(stop - start, dtype=np.int64),
             np.diff(left.indptr[start : stop + 1]).astype(np.int64),
         )
-        plen = (right.col_ptr[terms + 1] - right.col_ptr[terms]).astype(np.int64)
-        pos = _gather_positions(right.col_ptr[terms], plen)
-        if len(pos) == 0:
-            continue
-        pair_rows = np.repeat(rows_local, plen)
-        pair_vals = np.repeat(vals, plen)
-        cols = right.row_idx[pos].astype(np.int64)
-        scores = np.bincount(
-            pair_rows * n_right + cols,
-            weights=pair_vals * right.weight[pos],
-            minlength=(stop - start) * n_right,
-        ).reshape(stop - start, n_right)
+        if use_dense:
+            ld = np.zeros((stop - start, n_cols), dtype=np.float64)
+            ld[rows_local, terms] = vals
+            scores = ld @ right.dense()
+        else:
+            plen = (right.col_ptr[terms + 1] - right.col_ptr[terms]).astype(np.int64)
+            pos = _gather_positions(right.col_ptr[terms], plen)
+            if len(pos) == 0:
+                continue
+            pair_rows = np.repeat(rows_local, plen)
+            pair_vals = np.repeat(vals, plen)
+            cols = right.row_idx[pos].astype(np.int64)
+            scores = np.bincount(
+                pair_rows * n_right + cols,
+                weights=pair_vals * right.weight[pos],
+                minlength=(stop - start) * n_right,
+            ).reshape(stop - start, n_right)
         # sparse semantics: structural zeros never appear; threshold keeps >=
         mask = scores >= max(threshold, np.finfo(np.float64).tiny)
         r_loc, c_loc = np.nonzero(mask)

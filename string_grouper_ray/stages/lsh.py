@@ -71,46 +71,76 @@ class _SaltHotBuckets:
     def __init__(self, hot_ref, max_bucket: int):
         self.hot: Dict[int, int] = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
         self.max_bucket = max_bucket
+        items = sorted(self.hot.items())
+        self.hot_keys = np.array([k for k, _ in items], dtype=np.int64)
+        self.hot_chunks = np.array([v for _, v in items], dtype=np.int64)
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        keys = t["band_key"].to_numpy(zero_copy_only=False)
-        rows = t["row_idx"].to_numpy(zero_copy_only=False)
-        sides = t["side"].to_numpy(zero_copy_only=False)
-        out_key: List[int] = []
-        out_salt: List[int] = []
-        out_row: List[int] = []
-        out_side: List[int] = []
-        out_chunk: List[int] = []
-        out_diag: List[bool] = []
-        for k, r, s in zip(keys.tolist(), rows.tolist(), sides.tolist()):
-            n_chunks = self.hot.get(k)
-            if n_chunks is None:
-                out_key.append(k)
-                out_salt.append(0)
-                out_row.append(r)
-                out_side.append(s)
-                out_chunk.append(0)
-                out_diag.append(True)
-            else:
-                c = hash((r, k)) % n_chunks
-                for j in range(n_chunks):
-                    lo, hi = (c, j) if c <= j else (j, c)
-                    out_key.append(k)
-                    out_salt.append(lo * n_chunks + hi + 1)
-                    out_row.append(r)
-                    out_side.append(s)
-                    out_chunk.append(c)
-                    out_diag.append(lo == hi)
+    @staticmethod
+    def _passthrough(t: pa.Table) -> pa.Table:
+        n = len(t)
         return pa.table(
             {
-                "band_key": pa.array(out_key, type=pa.int64()),
-                "salt": pa.array(out_salt, type=pa.int64()),
-                "row_idx": pa.array(out_row, type=pa.int64()),
-                "side": pa.array(out_side, type=pa.int8()),
-                "chunk": pa.array(out_chunk, type=pa.int32()),
-                "diag_sub": pa.array(out_diag, type=pa.bool_()),
+                "band_key": t["band_key"],
+                "salt": pa.array(np.zeros(n, dtype=np.int64)),
+                "row_idx": t["row_idx"],
+                "side": t["side"],
+                "chunk": pa.array(np.zeros(n, dtype=np.int32)),
+                "diag_sub": pa.array(np.ones(n, dtype=np.bool_)),
             }
         )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        # fast path — no hot buckets at all (the common case): pass every
+        # row through with constant salt/chunk/diag columns, zero per-row work
+        if len(self.hot_keys) == 0 or len(t) == 0:
+            return self._passthrough(t)
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.hot_keys, keys)
+        np.minimum(pos, len(self.hot_keys) - 1, out=pos)
+        is_hot = self.hot_keys[pos] == keys
+        if not is_hot.any():
+            return self._passthrough(t)
+
+        rows = t["row_idx"].to_numpy(zero_copy_only=False)
+        sides = t["side"].to_numpy(zero_copy_only=False)
+        parts: List[pa.Table] = []
+        cold = ~is_hot
+        if cold.any():
+            parts.append(self._passthrough(t.filter(pa.array(cold))))
+
+        # hot rows: a member of chunk c is re-emitted under every chunk-pair
+        # sub-key (lo, hi) with j = 0..n_chunks-1 — fully vectorized via
+        # np.repeat expansion. Chunk assignment keeps the CPython tuple hash
+        # of (row, key) used by the original per-row implementation so pair
+        # routing is bit-identical (hot rows are few; this small Python loop
+        # is the only remaining per-row work).
+        hk = keys[is_hot]
+        hr = rows[is_hot]
+        hs = sides[is_hot]
+        nch = self.hot_chunks[pos[is_hot]]
+        c = np.fromiter(
+            (hash((int(r), int(k))) for r, k in zip(hr, hk)),
+            dtype=np.int64, count=len(hr),
+        ) % nch
+        total = int(nch.sum())
+        idx = np.repeat(np.arange(len(hr), dtype=np.int64), nch)
+        j = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nch) - nch, nch)
+        cc = c[idx]
+        lo = np.minimum(cc, j)
+        hi = np.maximum(cc, j)
+        parts.append(
+            pa.table(
+                {
+                    "band_key": pa.array(hk[idx], type=pa.int64()),
+                    "salt": pa.array(lo * nch[idx] + hi + 1, type=pa.int64()),
+                    "row_idx": pa.array(hr[idx], type=pa.int64()),
+                    "side": pa.array(hs[idx], type=pa.int8()),
+                    "chunk": pa.array(cc.astype(np.int32), type=pa.int32()),
+                    "diag_sub": pa.array(lo == hi, type=pa.bool_()),
+                }
+            )
+        )
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
 
 def _segment_pairs(offsets: np.ndarray, sizes: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -244,20 +274,46 @@ def _emit_pairs(g: pd.DataFrame, cross: bool) -> pd.DataFrame:
     return pd.DataFrame({"left_idx": pairs[:, 0], "right_idx": pairs[:, 1]})
 
 
-def _mset_hash(lhs: np.ndarray, rhs: np.ndarray, mode: int) -> int:
-    """63-bit FNV over the packed member ids + mode. Two distinct membersets
-    colliding would drop one bucket's pairs; at B buckets the probability is
-    ~B²/2^63 (≈5e-5 at 32M buckets) — accepted and documented."""
-    h = np.uint64(14695981039346656037)
-    prime = np.uint64(1099511628211)
+_SM_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_SM_SEP = np.uint64(0xD1B54A32D192ED03)  # salts rhs members apart from lhs
+_MASK63 = np.uint64(0x7FFFFFFFFFFFFFFF)
+
+
+def _sm64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized (uint64 in/out)."""
     with np.errstate(over="ignore"):
-        for v in lhs:
-            h = (h ^ np.uint64(v)) * prime
-        h = (h ^ np.uint64(0xABCD)) * prime
-        for v in rhs:
-            h = (h ^ np.uint64(v)) * prime
-        h = (h ^ np.uint64(mode)) * prime
-    return int(h & np.uint64(0x7FFFFFFFFFFFFFFF))
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def _mixed_members(vals: np.ndarray, local_pos: np.ndarray, sep: bool = False) -> np.ndarray:
+    """Per-member position-salted splitmix64 mix; a memberset hash is the
+    XOR-fold of these (positions make the sorted sequence order-sensitive,
+    so [a,a,b] and [a,b,b] differ). Two distinct membersets colliding would
+    drop one bucket's pairs; at B buckets the probability is ~B²/2^63
+    (≈5e-5 at 32M buckets) — accepted and documented."""
+    with np.errstate(over="ignore"):
+        x = vals.astype(np.uint64) + _SM_GOLD * (local_pos.astype(np.uint64) + np.uint64(1))
+        if sep:
+            x = x + _SM_SEP
+    return _sm64(x)
+
+
+def _mset_hash(lhs: np.ndarray, rhs: np.ndarray, mode: int) -> int:
+    """63-bit memberset hash (xor-fold of position-salted splitmix64 mixes
+    + mode). Kept as the single-group form; `_memberset_bucket` computes the
+    identical value for all mode-0 groups at once via ``xor.reduceat``."""
+    h = np.uint64(0)
+    if len(lhs):
+        h ^= np.bitwise_xor.reduce(_mixed_members(lhs, np.arange(len(lhs))))
+    if len(rhs):
+        h ^= np.bitwise_xor.reduce(_mixed_members(rhs, np.arange(len(rhs)), sep=True))
+    h = _sm64(np.array([h ^ np.uint64(0xABCD + mode)], dtype=np.uint64))[0]
+    return int(h & _MASK63)
 
 
 def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -285,6 +341,18 @@ def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
         boundaries = np.empty(0, dtype=np.int64)
     offsets = np.concatenate([[0], boundaries, [len(keys)]]).astype(np.int64)
 
+    # mode-0 memberset hashes for ALL groups in one vectorized pass (xor-fold
+    # of position-salted mixes, reduceat per group) — bit-identical to
+    # _mset_hash(group_rows, [], 0); the per-group call below is only needed
+    # for the rare salted off-diagonal groups whose members split in two.
+    sizes = np.diff(offsets)
+    if len(rows):
+        local = np.arange(len(rows), dtype=np.int64) - np.repeat(offsets[:-1], sizes)
+        gx = np.bitwise_xor.reduceat(_mixed_members(rows, local), offsets[:-1])
+        mode0_hash = _sm64(gx ^ np.uint64(0xABCD)) & _MASK63
+    else:
+        mode0_hash = np.empty(0, dtype=np.uint64)
+
     out_hash: List[int] = []
     out_l: List[bytes] = []
     out_r: List[bytes] = []
@@ -306,11 +374,12 @@ def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
             lhs, rhs = g_rows[lm], g_rows[~lm]
             lss, rss = g_sides[lm], g_sides[~lm]
             mode = 1
+            out_hash.append(_mset_hash(lhs, rhs, mode))
         else:
             lhs, rhs = g_rows, np.empty(0, dtype=np.int64)
             lss, rss = g_sides, np.empty(0, dtype=np.int8)
             mode = 0
-        out_hash.append(_mset_hash(lhs, rhs, mode))
+            out_hash.append(int(mode0_hash[gi]))
         out_l.append(lhs.tobytes())
         out_r.append(rhs.tobytes())
         out_ls.append(lss.tobytes())
