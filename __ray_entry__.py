@@ -232,15 +232,33 @@ def _q_dedup_exact_docs(sf_dir: str):
 
 
 def _q_dedup_minhash_docs(sf_dir: str):
+    """MinHash+LSH near-dedup, run in its exact configuration so the DuckDB
+    oracle can hash-check the whole sketch pipeline: ``lsh_bands=num_perm``
+    (rows_per_band=1) makes any pair sharing ONE of 128 minhashes a
+    candidate — P(miss | J >= 0.7) = (1-J)^128 <= 1e-67, zero in practice —
+    and the true-Jaccard verify then makes the surviving edge set exactly
+    {pairs: J(distinct normalized 3-grams) >= 0.7}, which SQL computes
+    directly (clusters = connected components, min-id labels). Caveat: docs
+    whose normalized text is shorter than 3 chars share the sentinel
+    signature and would cluster in the pipeline but not the oracle; the sf
+    fixtures contain none (checked at sf 0.001/0.01/0.1)."""
     import ray.data
 
     from string_grouper_ray.pipelines.dedup import minhash_dedup
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dedup(ds, "doc_id", "text", jaccard_threshold=0.7, config=_cfg())
+    return minhash_dedup(
+        ds, "doc_id", "text", jaccard_threshold=0.7, config=_cfg(lsh_bands=128)
+    )
 
 
 def _q_dedup_simhash_docs(sf_dir: str):
+    """SimHash near-dedup. Deterministically SQL-checkable with NO config
+    tricks: hamming(sig_a, sig_b) <= 3 over a 4x16-bit banding has provable
+    recall 1.0 (pigeonhole — 3 bit errors leave >= 1 band untouched), and the
+    64-bit signature itself is pure arithmetic over the FNV-64 hashes of the
+    distinct normalized 3-grams, which DuckDB reproduces bit-exactly
+    (HUGEINT modular FNV + per-bit majority votes)."""
     import ray.data
 
     from string_grouper_ray.pipelines.dedup import simhash_dedup
@@ -778,6 +796,95 @@ jac AS (
 SELECT l AS left_id, r AS right_id, round(j, 4) AS jaccard FROM jac WHERE j >= 0.5
 """
 
+    # clusters = CC over {pairs: true Jaccard of distinct normalized 3-grams
+    # >= 0.7}; equals the pipeline's output because the rows_per_band=1 LSH
+    # has recall 1.0 at this threshold (see _q_dedup_minhash_docs docstring)
+    minhash_sql = r"""
+WITH RECURSIVE docs AS (
+    SELECT doc_id AS id, regexp_replace(lower(text), '[,-./\s]', '', 'g') AS s
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT id, substring(s, CAST(u AS INTEGER), 3) AS g
+    FROM (SELECT id, s, unnest(generate_series(1, length(s) - 2)) AS u
+          FROM docs WHERE length(s) >= 3)
+),
+sizes AS (SELECT id, count(*) AS sz FROM grams GROUP BY id),
+inter AS (
+    SELECT a.id AS l, b.id AS r, count(*) AS shared
+    FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+edges0 AS (
+    SELECT l, r
+    FROM inter JOIN sizes sa ON inter.l = sa.id JOIN sizes sb ON inter.r = sb.id
+    WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.7
+),
+edges AS (SELECT l, r FROM edges0 UNION ALL SELECT r AS l, l AS r FROM edges0),
+reach(id, rr) AS (
+    SELECT id, id FROM docs
+    UNION
+    SELECT e.r, reach.rr FROM reach JOIN edges e ON e.l = reach.id
+),
+comp AS (SELECT id, min(rr) AS comp_id FROM reach GROUP BY id)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(comp_id AS BIGINT) AS cluster_id,
+       (id = comp_id) AS keep
+FROM comp
+"""
+
+    # bit-exact 64-bit SimHash in SQL: FNV-64 of each distinct normalized
+    # 3-gram via HUGEINT modular arithmetic, per-bit majority votes, then CC
+    # over all pairs at hamming <= 3 (pipeline banding recall 1.0 by
+    # pigeonhole; star-collapsed edges have the same transitive closure)
+    simhash_sql = r"""
+WITH RECURSIVE docs AS (
+    SELECT doc_id AS id, regexp_replace(lower(text), '[,-./\s]', '', 'g') AS s
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT id, substring(s, CAST(u AS INTEGER), 3) AS g
+    FROM (SELECT id, s, unnest(generate_series(1, length(s) - 2)) AS u
+          FROM docs WHERE length(s) >= 3)
+),
+fnv AS (
+    SELECT DISTINCT id, CAST(
+      ((xor(((xor(((xor(14695981039346656037::HUGEINT,
+          ascii(substring(g,1,1))::HUGEINT)) * 1099511628211::HUGEINT)
+          % 18446744073709551616::HUGEINT,
+          ascii(substring(g,2,1))::HUGEINT)) * 1099511628211::HUGEINT)
+          % 18446744073709551616::HUGEINT,
+          ascii(substring(g,3,1))::HUGEINT)) * 1099511628211::HUGEINT)
+          % 18446744073709551616::HUGEINT
+      AS UBIGINT) AS h
+    FROM grams
+),
+votes AS (
+    SELECT id, b, sum(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+    FROM fnv CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+    GROUP BY id, b
+),
+sigs AS (
+    SELECT id, CAST(sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0 END)
+                    % 18446744073709551616::HUGEINT AS UBIGINT) AS sig
+    FROM votes GROUP BY id
+),
+edges0 AS (
+    SELECT a.id AS l, b.id AS r
+    FROM sigs a JOIN sigs b ON a.id < b.id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+),
+edges AS (SELECT l, r FROM edges0 UNION ALL SELECT r AS l, l AS r FROM edges0),
+reach(id, rr) AS (
+    SELECT id, id FROM docs
+    UNION
+    SELECT e.r, reach.rr FROM reach JOIN edges e ON e.l = reach.id
+),
+comp AS (SELECT id, min(rr) AS comp_id FROM reach GROUP BY id)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(comp_id AS BIGINT) AS cluster_id,
+       (id = comp_id) AS keep
+FROM comp
+"""
+
     ann_sql = r"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 8)
 SELECT q.query_id, e.vec_id,
@@ -840,6 +947,8 @@ FROM documents
         "pairwise_part": pairwise_sql,
         "containment_part": containment_sql,
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+        "dedup_minhash_docs": minhash_sql,
+        "dedup_simhash_docs": simhash_sql,
         "jaccard_part": jaccard_sql,
         "ann_topk": ann_sql,
         "ann_topk_ivf": ann_sql,
@@ -847,6 +956,14 @@ FROM documents
         "token_counts_docs": (
             "SELECT doc_id, CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)"
             " AS n_tokens FROM documents"
+        ),
+        # the GPT-2-ish token regex evaluates identically under Python re and
+        # DuckDB's RE2 (leftmost-first alternation; verified incl.
+        # contraction/punctuation torture cases)
+        "token_counts_bpe_docs": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'"
+            ")) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "quality_docs": quality_sql,
         "lang_id_docs": lang_sql,
@@ -858,6 +975,6 @@ FROM documents
             "SELECT user_id, event_id AS rep_event_id FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1"
         ),
-        # dedup_minhash_docs / dedup_simhash_docs / token_counts_bpe_docs /
-        # audio_features: model/sketch-based — rows-only check
+        # token_counts_bpe_docs / audio_* / frame_*: model/binary-payload
+        # based — rows-only check
     }
