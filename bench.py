@@ -58,6 +58,10 @@ def run_headline() -> dict:
     from string_grouper_ray.pipelines.clipdedup import dedup_clip_table
 
     clip_dir = _build_clip_table()
+    # GRAFT_FORCE_DISTRIBUTED=1 benches the >8M-row/>50M-edge regime on a
+    # small input: join-mode verify (no broadcast CSR) + distributed CC —
+    # the configuration a 100-TB run would actually use
+    force_distributed = bool(int(os.environ.get("GRAFT_FORCE_DISTRIBUTED", "0")))
     cfg = EngineConfig(
         strategy="lsh",
         min_similarity=0.8,
@@ -70,11 +74,12 @@ def run_headline() -> dict:
         use_actor_pools=False,
         concurrency=max(2, NUM_CPUS - 2),
         batch_size=2048,
+        verify_broadcast_max_rows=0 if force_distributed else 8_000_000,
     )
     t0 = time.time()
     out = dedup_clip_table(
         clip_dir, output_path=None, config=cfg, hydrate_payload=False,
-        with_containment=True,
+        with_containment=True, force_distributed=force_distributed,
     )
     n = out.count()
     dt = time.time() - t0

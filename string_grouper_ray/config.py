@@ -109,12 +109,15 @@ class EngineConfig:
     # store (≤ this many rows), broadcast the packed vectors once and verify
     # candidate pairs in a single map stage (no join shuffles). Above it,
     # fall back to the two bucketed shuffle_joins (the any-scale path).
-    # Memory math for the broadcast CSR: ~30 char-trigrams/row × 8 B
-    # (int32 col + float32 val) ≈ 240 MB per 1M rows, stored once per NODE
-    # in the plasma store (workers map it zero-copy) — 8M rows ≈ 2 GB,
-    # comfortable on any node sized for this engine. The join path remains
-    # the route above (it moves vectors through two bucketed shuffles but
-    # never holds a full side anywhere).
+    # Memory math for the broadcast CSR: ~30 char-trigrams/row × 12 B
+    # (int32 col + float64 val) ≈ 360 MB per 1M rows, stored once per NODE
+    # in the plasma store (workers map it zero-copy) — 8M rows ≈ 2.9 GB
+    # resident. The DRIVER additionally pays ~3× that transiently while
+    # assembling (concat parts + gathered CSR + the ray.put copy,
+    # collect_row_csr) ≈ 9 GB peak at the cutoff — sized for a ≥32 GiB
+    # driver; lower this on smaller drivers. The join path remains the route
+    # above (it moves vectors through two bucketed shuffles but never holds
+    # a full side anywhere).
     verify_broadcast_max_rows: int = 8_000_000
     # exact-dup rep filter: reps are a plain int64 id array (8 B/row — 400 MB
     # even at 50M rows), so the broadcast searchsorted filter stays viable

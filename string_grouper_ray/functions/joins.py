@@ -87,11 +87,18 @@ def broadcast_join(
     right_on = right_on or on
     small_df = small.to_pandas()
     small_ref = ray.put(small_df)
+    if concurrency is None:
+        # scale the pool to the cluster rather than a flat 2 — a big-side
+        # scan routed through here must not serialize on two actors
+        try:
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            concurrency = 4
     return big.map_batches(
         _BroadcastMerger,
         fn_constructor_args=(small_ref, on, right_on, how, columns),
         batch_format="pandas",
-        concurrency=concurrency or 2,
+        concurrency=concurrency,
     )
 
 

@@ -221,6 +221,46 @@ def knn_lsh(
     return knn_brute_force(candidates, queries, k, id_col, vec_col, config)
 
 
+def _train_sample(
+    ds: "ray.data.Dataset", id_col: str, vec_col: str, train_rows: int, seed: int
+) -> np.ndarray:
+    """Bounded UNIFORM training sample for the coarse quantizer.
+
+    A seeded splitmix64 hash of the row id decides membership — deterministic
+    and unbiased on sorted/clustered corpora, unlike ``ds.limit(train_rows)``
+    (the first N rows), whose centroids would silently skew recall when the
+    table is ordered by anything embedding-correlated. The filter runs as a
+    streaming map; only the ~train_rows survivors reach the driver.
+    """
+    n_total = ds.count()
+    if n_total == 0:
+        raise ValueError("knn_ivf: empty corpus")
+    if n_total > train_rows:
+        mod = np.uint64(1 << 20)
+        cut = np.uint64(max(1, int(round((train_rows / n_total) * float(mod)))))
+        gold = np.uint64(0x9E3779B97F4A7C15)
+        useed = np.uint64(seed)
+
+        def samp(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            with np.errstate(over="ignore"):
+                x = ids.astype(np.uint64) * gold + useed
+                x ^= x >> np.uint64(30)
+                x *= np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(27)
+                x *= np.uint64(0x94D049BB133111EB)
+                x ^= x >> np.uint64(31)
+            return t.filter(pa.array((x % mod) < cut))
+
+        ds = ds.select_columns([id_col, vec_col]).map_batches(
+            samp, batch_format="pyarrow"
+        )
+    sample = ds.select_columns([vec_col]).to_pandas()
+    if len(sample) == 0:
+        raise ValueError("knn_ivf: training sample came up empty")
+    return np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+
+
 def _train_centroids(
     mat: np.ndarray, n_list: int, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
@@ -317,11 +357,12 @@ def knn_ivf(
     the query matrix are broadcast; the corpus streams once.
     """
     config = config or EngineConfig()
-    sample = ds.limit(train_rows).select_columns([vec_col]).to_pandas()
-    smat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    smat = _train_sample(ds, id_col, vec_col, train_rows, seed)
     cent = _train_centroids(smat, n_list, seed=seed)
 
     qdf = queries.select_columns([id_col, vec_col]).to_pandas()
+    if len(qdf) == 0:
+        raise ValueError("knn_ivf: empty query set")
     qids = qdf[id_col].to_numpy(dtype=np.int64)
     qmat = _l2_normalize(
         np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])

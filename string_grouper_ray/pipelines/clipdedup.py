@@ -66,12 +66,25 @@ def dedup_clip_table(
     id_col: str = "clip_id",
     with_containment: bool = True,
     hydrate_payload: bool = True,
+    force_distributed: bool = False,
 ) -> "ray.data.Dataset":
     """Dedup/cluster a clip table from parquet; returns (or writes) the full
-    table + (group_id, group_rep_id) columns."""
+    table + (group_id, group_rep_id) columns.
+
+    Rep-choice caveat: with ``exact_dup_shortcircuit`` + distinct-norm star
+    containment edges, cluster MEMBERSHIP is provably unchanged (equivalence
+    tests), but centroid ``group_rep_id`` picks can differ from an all-pairs
+    edge construction — the centroid weight is a sum of edge similarities,
+    and star emission changes which edges exist (same weight-sensitivity
+    family as the rounding divergence documented in compat.py). Downstream
+    consumers should treat the rep as "a stable member of the cluster", not
+    a unique canonical choice across configs."""
     config = config or EngineConfig()
     ckpt = CheckpointManager(config.checkpoint_dir, config)
 
+    from ..stages.lsh import StageTimer
+    _tmark = StageTimer("clipdedup")
+    _tmark("start")
     from ..sources.io import read_table, read_table_with_row_idx
 
     # prune at the read: only the narrow columns enter the match path
@@ -89,6 +102,7 @@ def dedup_clip_table(
         ),
         batch_format="pyarrow",
     ).materialize()
+    _tmark("narrow_read")
 
     def compute_edges():
         edges, _vocab = match_edges(
@@ -111,14 +125,21 @@ def dedup_clip_table(
         return edges
 
     edges = ckpt.stage("edges", compute_edges)
+    if _tmark.enabled:
+        edges = edges.materialize()
+        _tmark("edges(total)")
 
     def compute_groups():
         return group_assignments(
             narrow.select_columns(["row_idx", "text"]), config, None, "text",
             edges=edges, dedup_edges=with_containment,
+            force_distributed=force_distributed,
         )
 
     groups = ckpt.stage("groups", compute_groups)
+    if _tmark.enabled:
+        groups = groups.materialize()
+        _tmark("groups(total)")
 
     # map row_idx-based assignment back to clip ids (right key renamed:
     # shuffle_join requires non-key column names to be disjoint)

@@ -224,7 +224,8 @@ def match_edges(
     """
     config = config or EngineConfig()
     self_join = right is None
-    from ..stages.lsh import _tmark
+    from ..stages.lsh import StageTimer
+    _tmark = StageTimer("match")
     _tmark("match_edges_start")
     if vocab is None:
         vocab = fit_vocabulary([left] if self_join else [left, right], text_col, config)
@@ -234,7 +235,7 @@ def match_edges(
     if config.strategy == "lsh":
         from ..stages.lsh import lsh_match_edges
 
-        edges = lsh_match_edges(left, right, vocab_ref, config, text_col)
+        edges = lsh_match_edges(left, right, vocab_ref, config, text_col, tmark=_tmark)
     else:
         if self_join:
             # encode once: the same vectorized dataset feeds both the

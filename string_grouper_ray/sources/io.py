@@ -70,7 +70,21 @@ def read_table_with_row_idx(
     if _is_lance_path(path) or path.endswith(".csv"):
         return None
     if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: ray.data.read_parquet (the zip-path fallback) descends
+        # into partition subdirectories, so this enumeration must too — a
+        # top-level-only glob would silently DROP nested rows instead of
+        # falling back
+        files = sorted(
+            _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
+        non_parquet = any(
+            not (e.startswith(".") or e.startswith("_"))
+            and not e.endswith(".parquet")
+            and not os.path.isdir(os.path.join(path, e))
+            for e in os.listdir(path)
+        )
+        if non_parquet:
+            return None  # mixed-format directory: let the generic reader decide
     elif path.endswith(".parquet"):
         files = [path]
     else:

@@ -761,17 +761,29 @@ def _exact_dup_collapse(
 
 
 
-def _tmark(label: str, t0=[None]):
-    """Env-gated stage timer (SGR_PROFILE=1): prints elapsed since the
-    previous mark. Zero cost when the variable is unset."""
-    import os, time
+class StageTimer:
+    """Env-gated stage timer (SGR_PROFILE=1): prints elapsed between marks.
+    Instantiated once per pipeline call — concurrently-profiled pipelines
+    each get their own instance instead of interleaving marks through a
+    shared module global. Zero cost when the variable is unset."""
 
-    if not os.environ.get("SGR_PROFILE"):
-        return
-    now = time.time()
-    if t0[0] is not None:
-        print(f"    [lsh] {label}: {now - t0[0]:.1f}s", flush=True)
-    t0[0] = now
+    def __init__(self, tag: str = "lsh"):
+        import os
+
+        self.enabled = bool(os.environ.get("SGR_PROFILE"))
+        self.tag = tag
+        self._t: Optional[float] = None
+
+    def __call__(self, label: str) -> None:
+        if not self.enabled:
+            return
+        import time
+
+        now = time.time()
+        if self._t is not None:
+            print(f"    [{self.tag}] {label}: {now - self._t:.1f}s", flush=True)
+        self._t = now
+
 
 def lsh_match_edges(
     left: "ray.data.Dataset",
@@ -779,9 +791,11 @@ def lsh_match_edges(
     vocab_ref,
     config: EngineConfig,
     text_col: str = "text",
+    tmark: Optional[StageTimer] = None,
 ) -> "ray.data.Dataset":
     """MinHash/LSH candidates → exact-cosine verify → top-N edge list."""
     cross = right is not None
+    _tmark = tmark or StageTimer()
     _tmark("start")
 
     exact_edges = None

@@ -523,6 +523,47 @@ def test_knn_ivf_recall_and_exact_degenerate():
     assert fu == ex
 
 
+def test_knn_ivf_sorted_corpus_recall_matches_shuffled():
+    """The quantizer trains on a seeded hash-mod SAMPLE, not limit(N): on a
+    corpus sorted by cluster (where the first train_rows rows see only a few
+    clusters) recall at n_probe < n_list must match the shuffled layout."""
+    from string_grouper_ray.pipelines.ann import knn_brute_force, knn_ivf
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(8, 16)) * 3
+    # SORTED by cluster: rows 0..49 are cluster 0, 50..99 cluster 1, ...
+    base = np.vstack(
+        [centers[i // 50] + rng.normal(size=16) * 0.5 for i in range(400)]
+    )
+
+    def mk_ds(vecs, ids):
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs],
+                                  type=pa.list_(pa.float32())),
+        }))
+
+    ids = np.arange(400, dtype=np.int64)
+    sorted_ds = mk_ds(base, ids)
+    perm = rng.permutation(400)
+    shuffled_ds = mk_ds(base[perm], ids[perm])
+    queries = sorted_ds.filter(lambda r: r["vec_id"] % 80 == 0)
+    exact = knn_brute_force(sorted_ds, queries, k=10, config=CFG).to_pandas()
+    ex = set(zip(exact["query_id"], exact["vec_id"]))
+
+    def recall(ds):
+        # train_rows=100 < corpus size forces the sampling path; on the
+        # sorted layout limit(100) would have seen only 2 of 8 clusters
+        ap = knn_ivf(ds, queries, k=10, n_list=8, n_probe=3, train_rows=100,
+                     config=CFG).to_pandas()
+        got = set(zip(ap["query_id"], ap["vec_id"]))
+        return len(ex & got) / len(ex)
+
+    r_sorted, r_shuffled = recall(sorted_ds), recall(shuffled_ds)
+    assert r_sorted >= 0.8
+    assert abs(r_sorted - r_shuffled) <= 0.1
+
+
 def test_read_table_with_row_idx_matches_zip_order():
     """Footer-offset row_idx must assign exactly the ids the zip(range)
     path would: same file listing order, dense 0..n-1, aligned per row."""
