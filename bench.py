@@ -53,6 +53,8 @@ def run_headline() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if os.environ.get("GRAFT_NO_RESERVATION"):
+        DataContext.get_current().op_resource_reservation_enabled = False
 
     from string_grouper_ray.config import EngineConfig
     from string_grouper_ray.pipelines.clipdedup import dedup_clip_table

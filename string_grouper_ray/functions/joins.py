@@ -133,6 +133,7 @@ def shuffle_join(
     num_buckets: Optional[int] = None,
     left_schema: Optional[pa.Schema] = None,
     right_schema: Optional[pa.Schema] = None,
+    bundle_rows: Optional[int] = 131_072,
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two arbitrarily large datasets.
 
@@ -146,6 +147,17 @@ def shuffle_join(
     Pass ``left_schema`` / ``right_schema`` when the input is a lazy plan
     whose schema Ray would otherwise have to execute blocks to discover
     (``Dataset.schema()`` on an unexecuted shuffle triggers real work).
+
+    ``bundle_rows`` bundles the tag-map outputs so the sort shuffle sees
+    ~that many rows per input block: Ray's sort materializes
+    ``input_blocks × num_partitions`` intermediate objects, and a
+    fragmented input (e.g. 2048-row encode batches at 4M rows) drives the
+    driver/raylet into minutes of pure object-metadata scheduling with 0
+    CPUs busy (measured: join-mode verify 19.5 s at 1M → 224 s at 2M →
+    stalled ≥20 min at 4M; bundled, 4M verifies in ~90 s). The default
+    suits narrow rows (ids + packed vectors); pass None to disable for
+    wide-payload joins (e.g. rows carrying audio bytes) where a 131k-row
+    block would be gigabytes.
     """
     if num_buckets is None:
         from .grouped import default_buckets
@@ -185,8 +197,10 @@ def shuffle_join(
 
         return fn
 
-    tagged = left.map_batches(prep(0, on), batch_format="pyarrow").union(
-        right.map_batches(prep(1, right_on), batch_format="pyarrow")
+    tagged = left.map_batches(
+        prep(0, on), batch_format="pyarrow", batch_size=bundle_rows
+    ).union(
+        right.map_batches(prep(1, right_on), batch_format="pyarrow", batch_size=bundle_rows)
     )
 
     merge_how = "left" if how == "left" else "inner"

@@ -193,6 +193,8 @@ def dedup_clip_table(
                  ("group_rep_id", pa.string())]
             ),
             num_buckets=64,
+            bundle_rows=None,  # rows carry the audio payload: keep the
+            # reader's byte-sized blocks, don't bundle 131k rows of bytes
         )
     if output_path:
         from ..sources.io import write_table

@@ -511,19 +511,9 @@ class _PairsFromMembersets:
         return pd.DataFrame({"left_idx": a, "right_idx": b})
 
 
-def _pack_side(t: pa.Table, idx_name: str, vec_name: str) -> pa.Table:
-    """(row_idx, term_ids, term_weights) → (idx, packed-binary vector)."""
-    from ..functions.packing import pack_vector
-
-    ids_col = t["term_ids"].to_pylist()
-    ws_col = t["term_weights"].to_pylist()
-    packed = [
-        pack_vector(np.asarray(i, dtype=np.int32), np.asarray(w, dtype=np.float64))
-        for i, w in zip(ids_col, ws_col)
-    ]
-    return pa.table(
-        {idx_name: t["row_idx"], vec_name: pa.array(packed, type=pa.binary())}
-    )
+def _text_side(t: pa.Table, text_col: str, idx_name: str, txt_name: str) -> pa.Table:
+    """(row_idx, text) → (idx, text) with join-unique column names."""
+    return pa.table({idx_name: t["row_idx"], txt_name: t[text_col]})
 
 
 def collect_row_csr(
@@ -653,45 +643,36 @@ class _VerifyCosineBroadcast:
         )
 
 
-class _VerifyCosine:
-    """Exact cosine over candidate pairs carrying both packed vectors
-    (join mode). Unpack is a cheap per-row ``np.frombuffer``; the dots are
-    one vectorized ``pair_dots`` call for the whole batch."""
+class _VerifyCosineFromText:
+    """Exact cosine over candidate pairs carrying both TEXTS (join mode).
 
-    def __init__(self, threshold: float):
-        self.threshold = threshold
+    The join path used to carry each endpoint's packed tf-idf vector to its
+    pairs; a short string's vector is ~10× its own bytes (every char becomes
+    a ~12 B trigram posting), so the two sorts moved pairs × ~800 B. Texts
+    are the compact transport: the sorts move pairs × ~len(text) and the
+    verify stage re-encodes both sides per batch from the broadcast
+    vocabulary — vectorized linear CPU work, bit-identical vectors (same
+    ``encode_tfidf``), far cheaper than the shuffle bytes it saves. (For
+    long-document corpora where text outgrows its distinct-gram vector,
+    ``minhash_dedup``'s shingle pipeline is the intended route, not this.)
+    """
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.packing import unpack_vector
-        from ..sparse import CSRBatch, pair_dots
+    def __init__(self, vocab_ref, config: EngineConfig):
+        self.encoder = TfidfEncoder(vocab_ref, config)
+        self.threshold = config.min_similarity
 
-        l_vecs = batch["l_vec"].to_numpy()
-        r_vecs = batch["r_vec"].to_numpy()
-        l_ids: List[np.ndarray] = []
-        l_ws: List[np.ndarray] = []
-        r_ids: List[np.ndarray] = []
-        r_ws: List[np.ndarray] = []
-        n_cols = 1
-        for i in range(len(batch)):
-            ia, va = unpack_vector(l_vecs[i])
-            ib, vb = unpack_vector(r_vecs[i])
-            l_ids.append(ia)
-            l_ws.append(va)
-            r_ids.append(ib)
-            r_ws.append(vb)
-            if len(ia):
-                n_cols = max(n_cols, int(ia[-1]) + 1)
-            if len(ib):
-                n_cols = max(n_cols, int(ib[-1]) + 1)
-        l_csr = CSRBatch.from_lists(l_ids, l_ws, n_cols)
-        r_csr = CSRBatch.from_lists(r_ids, r_ws, n_cols)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sparse import pair_dots
+
+        l_csr = self.encoder.encode_batch(batch["l_txt"].to_pylist())
+        r_csr = self.encoder.encode_batch(batch["r_txt"].to_pylist())
         arange = np.arange(len(batch), dtype=np.int64)
         sims = pair_dots(l_csr, r_csr, arange, arange)
         keep = sims >= max(self.threshold, 1e-300)
-        return pa.table(  # arrow out (see functions/grouped.py run())
+        return pa.table(
             {
-                "left_idx": pa.array(batch["left_idx"].to_numpy(dtype=np.int64)[keep]),
-                "right_idx": pa.array(batch["right_idx"].to_numpy(dtype=np.int64)[keep]),
+                "left_idx": batch["left_idx"].cast(pa.int64()).filter(pa.array(keep)),
+                "right_idx": batch["right_idx"].cast(pa.int64()).filter(pa.array(keep)),
                 "similarity": pa.array(sims[keep].astype(np.float64)),
             }
         )
@@ -900,7 +881,21 @@ def lsh_match_edges(
         batch_size=8192,
     )
     pairs = dedup_pairs(pairs, ["left_idx", "right_idx"]).materialize()
+    # Release the banded/salted/memberset lineage NOW: pairs owns its own
+    # blocks after materialize, but the lazy datasets above keep the banded
+    # blocks (rows × bands — the pipeline's widest intermediate) pinned in
+    # the object store. Ray Data's streaming executor budgets store memory
+    # per operator and throttles task launches when the store is near its
+    # reservation — with these pinned, the join-mode verify's sort ran with
+    # ~95% idle CPUs (measured 244 s for a 2M-row verify that runs in ~60 s
+    # once freed).
+    del banded, salted, msets, counts, hot_rows
+    import gc
+
+    gc.collect()
     _tmark("membersets+pairs")
+    if _tmark.enabled:
+        print(f"    [match] candidate pairs: {pairs.count()}", flush=True)
 
     # 5. verify: exact cosine on candidate pairs.
     #    broadcast mode (vectors fit the object store): pack all vectors into
@@ -935,30 +930,40 @@ def lsh_match_edges(
             batch_size=65536,
         )
     else:
-        lvec = _vec_ds(left).map_batches(
-            lambda t: _pack_side(t, "v_idx", "l_vec"), batch_format="pyarrow"
+        ltxt = left.select_columns(["row_idx", text_col]).map_batches(
+            lambda t: _text_side(t, text_col, "v_idx", "l_txt"), batch_format="pyarrow"
         )
         rsrc = right if cross else left
-        rvec = _vec_ds(rsrc).map_batches(
-            lambda t: _pack_side(t, "w_idx", "r_vec"), batch_format="pyarrow"
+        rtxt = rsrc.select_columns(["row_idx", text_col]).map_batches(
+            lambda t: _text_side(t, text_col, "w_idx", "r_txt"), batch_format="pyarrow"
         )
         pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
-        lvec_schema = pa.schema([("v_idx", pa.int64()), ("l_vec", pa.binary())])
-        rvec_schema = pa.schema([("w_idx", pa.int64()), ("r_vec", pa.binary())])
+        ltxt_schema = pa.schema([("v_idx", pa.int64()), ("l_txt", pa.string())])
+        rtxt_schema = pa.schema([("w_idx", pa.int64()), ("r_txt", pa.string())])
         withl_schema = pa.schema(
-            list(pair_schema) + [pa.field("v_idx", pa.int64()), pa.field("l_vec", pa.binary())]
+            list(pair_schema) + [pa.field("v_idx", pa.int64()), pa.field("l_txt", pa.string())]
         )
-        withl = shuffle_join(pairs, lvec, on="left_idx", right_on="v_idx", how="inner",
-                             left_schema=pair_schema, right_schema=lvec_schema)
-        withlr = shuffle_join(withl, rvec, on="right_idx", right_on="w_idx", how="inner",
-                              left_schema=withl_schema, right_schema=rvec_schema)
+        # partition count sized to the pair volume (≥250k rows per reduce
+        # task, floored at one wave per CPU): the sort's intermediate object
+        # count is map_blocks × partitions, and on syscall-expensive hosts
+        # tiny-object churn — not bytes — dominates the exchange cost
+        from ..functions.grouped import default_buckets
+
+        n_pairs = pairs.count()
+        jb = int(min(default_buckets(), max(32, -(-n_pairs // 250_000))))
+        withl = shuffle_join(pairs, ltxt, on="left_idx", right_on="v_idx", how="inner",
+                             left_schema=pair_schema, right_schema=ltxt_schema,
+                             num_buckets=jb)
+        withlr = shuffle_join(withl, rtxt, on="right_idx", right_on="w_idx", how="inner",
+                              left_schema=withl_schema, right_schema=rtxt_schema,
+                              num_buckets=jb)
         verified = stage_map_batches(
             withlr,
-            _VerifyCosine,
-            (config.min_similarity,),
+            _VerifyCosineFromText,
+            (vocab_ref, config),
             config,
-            batch_format="pandas",
-            batch_size=config.batch_size,
+            batch_format="pyarrow",
+            batch_size=65536,
         )
 
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N

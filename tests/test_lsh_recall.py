@@ -81,6 +81,24 @@ def test_lsh_salted_skew_equivalence():
     assert len(_edges_set(salted)) >= 60 * 59 // 2
 
 
+def test_lsh_join_mode_verify_equals_broadcast(clip_ds):
+    """verify_broadcast_max_rows=0 forces the any-scale join-mode verify
+    (vector-carrying shuffle joins + vectorized pack/unpack); its edge set
+    and similarities must equal the broadcast-CSR fast path exactly."""
+    base = dict(strategy="lsh", min_similarity=0.7, max_n_matches=None,
+                force_symmetries=False, use_actor_pools=False)
+    e_b, _ = match_edges(clip_ds, None, EngineConfig(**base))
+    e_j, _ = match_edges(
+        clip_ds, None, EngineConfig(**base, verify_broadcast_max_rows=0)
+    )
+    db = e_b.to_pandas().sort_values(["left_idx", "right_idx"]).reset_index(drop=True)
+    dj = e_j.to_pandas().sort_values(["left_idx", "right_idx"]).reset_index(drop=True)
+    assert len(db) == len(dj)
+    assert (db["left_idx"].to_numpy() == dj["left_idx"].to_numpy()).all()
+    assert (db["right_idx"].to_numpy() == dj["right_idx"].to_numpy()).all()
+    assert np.allclose(db["similarity"], dj["similarity"], atol=1e-12)
+
+
 def test_lsh_cross_join():
     master = pd.DataFrame({"row_idx": np.arange(3), "text": ["foooo", "bar", "baz"]})
     dupes = pd.DataFrame({"row_idx": np.arange(4), "text": ["foooo", "bar", "baz", "foooob"]})

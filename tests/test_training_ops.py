@@ -595,6 +595,28 @@ def test_read_table_with_row_idx_matches_zip_order():
     assert read_table_with_row_idx("/tmp/nope.csv") is None
 
 
+def test_read_table_with_row_idx_nested_partition_dirs(tmp_path):
+    """ray.data.read_parquet (the fallback) reads partition subdirectories
+    recursively, so the footer-offset path must enumerate them too — a
+    top-level-only glob would silently drop nested rows."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from string_grouper_ray.sources.io import read_table_with_row_idx
+
+    root = tmp_path / "tbl"
+    (root / "sub").mkdir(parents=True)
+    pq.write_table(pa.table({"a": pa.array([1, 2])}), root / "top.parquet")
+    pq.write_table(pa.table({"a": pa.array([3, 4, 5])}), root / "sub" / "nested.parquet")
+    out = read_table_with_row_idx(str(root), columns=["a"]).to_pandas()
+    assert sorted(out["a"].tolist()) == [1, 2, 3, 4, 5]
+    assert sorted(out["row_idx"].tolist()) == list(range(5))
+
+    # a stray non-parquet file makes the directory mixed-format: fall back
+    (root / "README.txt").write_text("not parquet")
+    assert read_table_with_row_idx(str(root), columns=["a"]) is None
+
+
 def test_group_assignments_dedup_edges_all_routes_agree():
     """dedup_edges=True must max-merge duplicate (l, r) edge rows with
     identical results on the driver numpy route, the distributed route, and
