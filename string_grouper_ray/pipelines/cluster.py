@@ -185,8 +185,11 @@ def _driver_group_assignments(
     argmax, ties to the lowest row_idx.
     """
     from ..functions.collect import collect_columns
+    from ..stages.lsh import StageTimer
     from ..state.unionfind import _driver_union_find, spanning_forest_contract
 
+    _tmark = StageTimer("groups")
+    _tmark("start")
     centroid = config.group_rep == GROUP_REP_CENTROID
     n_edges = edges.count()
     contract = n_edges > config.cc_contract_min_edges
@@ -201,6 +204,7 @@ def _driver_group_assignments(
         dedup = False
     node_ids = np.sort(collect_columns(ds, ["row_idx"])["row_idx"].astype(np.int64))
     n = len(node_ids)
+    _tmark("collect_nodes")
 
     if contract:
         # keep the serial driver work O(nodes): labels from the map-parallel
@@ -232,7 +236,9 @@ def _driver_group_assignments(
             l, r = ls[keep], rs[keep]
             if centroid:
                 p = {"similarity": sim[order][keep]}
+    _tmark("collect_edges")
     labels = _driver_union_find(l, r, node_ids)  # aligned with node_ids
+    _tmark("union_find")
 
     if centroid:
         weight = np.zeros(n, dtype=np.float64)

@@ -132,9 +132,21 @@ class ExactTopKMatcher:
     """
 
     def __init__(self, chunk_refs: List["ray.ObjectRef"], vocab_size: int, config: EngineConfig):
-        self.chunks: List[Tuple[Postings, np.ndarray]] = [ray.get(r) for r in chunk_refs]
+        # refs resolved lazily on the worker (zero-copy plasma reads); an
+        # eager ray.get on a driver-constructed instance would pickle every
+        # chunk's arrays into the operator spec (see _VerifyCosineBroadcast)
+        self._refs = chunk_refs
+        self._chunks: Optional[List[Tuple[Postings, np.ndarray]]] = None
         self.vocab_size = vocab_size
         self.config = config
+
+    @property
+    def chunks(self) -> List[Tuple[Postings, np.ndarray]]:
+        if self._chunks is None:
+            self._chunks = [
+                ray.get(r) if isinstance(r, ray.ObjectRef) else r for r in self._refs
+            ]
+        return self._chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         csr = csr_from_arrow(batch, self.vocab_size)

@@ -617,21 +617,34 @@ class _VerifyCosineBroadcast:
     flagship pipeline)."""
 
     def __init__(self, maps_ref, threshold: float):
-        l_state, r_state = ray.get(maps_ref) if isinstance(maps_ref, ray.ObjectRef) else maps_ref
-        self.l_ids, self.l_csr = l_state
-        self.r_ids, self.r_csr = r_state if r_state is not None else l_state
+        # hold the REF; resolve lazily on the worker. Constructed on the
+        # driver (use_actor_pools=False) an eager ray.get here would embed
+        # the full CSR arrays (~360 MB per 1M rows) in the pickled operator
+        # spec — every worker then pays a deserializing copy instead of the
+        # zero-copy plasma read the broadcast exists for.
+        self._ref = maps_ref
         self.threshold = threshold
+        self._state = None
+
+    def _states(self):
+        if self._state is None:
+            l_state, r_state = (
+                ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
+            )
+            self._state = (l_state, r_state if r_state is not None else l_state)
+        return self._state
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..sparse import pair_dots
 
+        (l_ids, l_csr), (r_ids, r_csr) = self._states()
         l_rows = t["left_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         r_rows = t["right_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = pair_dots(
-            self.l_csr,
-            self.r_csr,
-            _rows_to_positions(self.l_ids, l_rows),
-            _rows_to_positions(self.r_ids, r_rows),
+            l_csr,
+            r_csr,
+            _rows_to_positions(l_ids, l_rows),
+            _rows_to_positions(r_ids, r_rows),
         )
         keep = sims >= max(self.threshold, 1e-300)
         return pa.table(
@@ -793,14 +806,22 @@ def lsh_match_edges(
 
             class _RepFilter:
                 def __init__(self, ref):
-                    self.reps = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                    self._ref = ref  # resolved lazily: zero-copy per worker
+                    self._reps = None
 
                 def __call__(self, t: pa.Table) -> pa.Table:
+                    if self._reps is None:
+                        self._reps = (
+                            ray.get(self._ref)
+                            if isinstance(self._ref, ray.ObjectRef)
+                            else self._ref
+                        )
+                    reps = self._reps
                     rows = t["row_idx"].to_numpy(zero_copy_only=False)
-                    pos = np.searchsorted(self.reps, rows)
-                    ok = pos < len(self.reps)
+                    pos = np.searchsorted(reps, rows)
+                    ok = pos < len(reps)
                     keep = np.zeros(len(rows), dtype=bool)
-                    keep[ok] = self.reps[pos[ok]] == rows[ok]
+                    keep[ok] = reps[pos[ok]] == rows[ok]
                     return t.filter(pa.array(keep))
 
             from ..functions.stagemap import stage_map_batches as _smb
@@ -829,7 +850,10 @@ def lsh_match_edges(
             ).materialize()
 
     _tmark("exact_dup_collapse+rep_filter")
-    # 1. band rows
+    # 1. band rows — materialized: the census and the salted chain both
+    # consume it, and an A/B at 1M showed the lazy re-execution costs ~49 s
+    # in the census alone vs ~3 s census + one plasma round-trip when
+    # materialized (banding is the widest map; running it twice loses).
     banded = _band_rows(left, config, text_col, side=0)
     if cross:
         banded = banded.union(_band_rows(right, config, text_col, side=1))
