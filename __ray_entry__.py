@@ -247,9 +247,29 @@ def _q_dedup_minhash_docs(sf_dir: str):
     from string_grouper_ray.pipelines.dedup import minhash_dedup
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # prefilter at 52/128 matching minhashes (est J >= 0.41): keeps the
+    # provable recall (P[drop | J>=0.7] ~ 7e-14 per pair) while the verify
+    # joins skip the sub-threshold noise the 1-row bands admit
     return minhash_dedup(
-        ds, "doc_id", "text", jaccard_threshold=0.7, config=_cfg(lsh_bands=128)
+        ds, "doc_id", "text", jaccard_threshold=0.7,
+        config=_cfg(lsh_bands=128), prefilter_min_band_matches=52,
     )
+
+
+def _q_dedup_minhash_docs_prod(sf_dir: str):
+    """The production MinHash config (32 bands x 4 rows): sub-threshold
+    pairs rarely become candidates (P = 1-(1-J^4)^32, ~0.3% at J=0.1), so
+    candidate volume stays near-linear on vocabulary-sharing corpora where
+    the exact-recall gate config above goes quadratic. Recall >= 0.99 at
+    the same shingle/threshold config is pytest-gated
+    (tests/test_training_ops.py); rows-only driver check — the exact-config
+    twin above carries the hash oracle for the same machinery."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup(ds, "doc_id", "text", jaccard_threshold=0.7, config=_cfg())
 
 
 def _q_dedup_simhash_docs(sf_dir: str):
@@ -627,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_part": _q_containment_part,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_minhash_docs": _q_dedup_minhash_docs,
+        "dedup_minhash_docs_prod": _q_dedup_minhash_docs_prod,
         "dedup_simhash_docs": _q_dedup_simhash_docs,
         "jaccard_part": _q_jaccard_part,
         "ann_topk": _q_ann_topk,

@@ -112,7 +112,11 @@ def run_queries() -> tuple[dict, dict]:
         "match_strings_part",
         "group_part",
         "dedup_exact_docs",
-        "dedup_minhash_docs",
+        # the production MinHash config; the oracle-gated exact-recall twin
+        # (dedup_minhash_docs, lsh_bands=num_perm) is intrinsically
+        # quadratic on vocabulary-sharing corpora and only runs at the
+        # sf0.01 correctness gate
+        "dedup_minhash_docs_prod",
         "ann_topk",
         "token_counts_docs",
         "lang_id_docs",

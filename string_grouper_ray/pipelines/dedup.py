@@ -136,11 +136,23 @@ def minhash_dedup(
     text_col: str = "text",
     jaccard_threshold: float = 0.7,
     config: Optional[EngineConfig] = None,
+    prefilter_min_band_matches: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """MinHash+LSH near-dedup with true-Jaccard verification.
 
     Input needs a unique integer ``id_col``; it doubles as ``row_idx``.
     Output: (id, cluster_id, keep) for every input row.
+
+    ``prefilter_min_band_matches``: drop candidate pairs that match fewer
+    than this many bands BEFORE the verify joins. The band-match count is
+    free (it is the pair's multiplicity in the dedup shuffle the pipeline
+    pays anyway) and it is a signature-based Jaccard estimate: at
+    rows_per_band=1, E[matches] = J·bands, so a high-recall configuration
+    (lsh_bands=num_perm, where any pair sharing ONE minhash becomes a
+    candidate — overwhelmingly sub-threshold noise on doc corpora) keeps
+    its provable recall while the verify joins only ever see plausible
+    pairs. E.g. 52/128 at J≥0.7: P(drop a true pair) = P(Binom(128,.7)<52)
+    ≈ 7e-14 — far below the accepted memberset-collision risk (~5e-5).
     """
     config = config or EngineConfig()
     from ..functions.joins import shuffle_join
@@ -178,10 +190,31 @@ def minhash_dedup(
     from ..functions.grouped import bucketed_group_map, dedup_pairs
     from ..stages.lsh import emit_pairs_bucket
 
-    pairs = bucketed_group_map(
-        salted, ["band_key", "salt"], lambda df: emit_pairs_bucket(df, False)
-    )
-    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
+    if prefilter_min_band_matches is not None:
+        # keep cross-band repeats; the dedup shuffle counts them per pair
+        # (== matching bands) and filters on the estimate — same shuffle
+        # volume as the plain dedup, but the verify joins downstream only
+        # see pairs whose estimated Jaccard clears the bar
+        min_n = int(prefilter_min_band_matches)
+        pairs_raw = bucketed_group_map(
+            salted, ["band_key", "salt"],
+            lambda df: emit_pairs_bucket(df, False, dedup=False),
+        )
+
+        def count_filter(df: pd.DataFrame) -> pd.DataFrame:
+            g = (
+                df.groupby(["left_idx", "right_idx"], sort=False)
+                .size()
+                .reset_index(name="n")
+            )
+            return g.loc[g["n"] >= min_n, ["left_idx", "right_idx"]]
+
+        pairs = bucketed_group_map(pairs_raw, ["left_idx", "right_idx"], count_filter)
+    else:
+        pairs = bucketed_group_map(
+            salted, ["band_key", "salt"], lambda df: emit_pairs_bucket(df, False)
+        )
+        pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
 
     lsh_l = stage_map_batches(base, _ShingleColumn, (config, "text", "l"), config,
                               batch_format="pyarrow", batch_size=config.batch_size)

@@ -169,13 +169,18 @@ def _segment_pairs(offsets: np.ndarray, sizes: np.ndarray) -> Tuple[np.ndarray, 
     return left, right
 
 
-def emit_pairs_bucket(df: pd.DataFrame, cross: bool) -> pd.DataFrame:
+def emit_pairs_bucket(df: pd.DataFrame, cross: bool, dedup: bool = True) -> pd.DataFrame:
     """Vectorized pair emission for a whole shuffle bucket (all its
     (band_key, salt) groups at once — no per-group pandas dispatch).
 
     Unsalted groups go through the fully-vectorized segment-pair kernel;
     salted sub-buckets (few — only hot bands) use the per-group path that
     understands chunk-pair semantics.
+
+    ``dedup=False`` keeps cross-band repeats (each band emits a pair at
+    most once, so the global multiplicity of a pair == its number of
+    matching bands — the signature-based Jaccard estimate used by
+    ``minhash_dedup``'s candidate pre-filter).
     """
     keys = df["band_key"].to_numpy(dtype=np.int64)
     salts = df["salt"].to_numpy(dtype=np.int64)
@@ -224,7 +229,8 @@ def emit_pairs_bucket(df: pd.DataFrame, cross: bool) -> pd.DataFrame:
         return pd.DataFrame(
             {"left_idx": np.empty(0, np.int64), "right_idx": np.empty(0, np.int64)}
         )
-    return pd.concat(outs, ignore_index=True).drop_duplicates()
+    out = pd.concat(outs, ignore_index=True)
+    return out.drop_duplicates() if dedup else out
 
 
 def _emit_pairs(g: pd.DataFrame, cross: bool) -> pd.DataFrame:

@@ -47,6 +47,32 @@ def test_minhash_dedup_clusters_near_dups():
     assert out["keep"].tolist() == [True, False, False, True, False, True]
 
 
+def test_minhash_dedup_band_match_prefilter_equivalent():
+    """The exact-recall gate config (lsh_bands=num_perm) with the
+    band-match prefilter must produce the same clusters as without it —
+    the prefilter only drops pairs whose estimated Jaccard is far below
+    the verify threshold (P[drop a true pair] ~ 1e-13)."""
+    from string_grouper_ray.pipelines.dedup import minhash_dedup
+
+    texts = (
+        ["the quick brown fox jumps over the lazy dog again and again"] * 3
+        + ["the quick brown fox jumps over the lazy dog again & again!!"]
+        + ["a completely different document about quantum computing hardware"] * 2
+        + ["yet another unrelated text on medieval history of europe"]
+    )
+    cfg = CFG.with_options(lsh_bands=128)
+    base = minhash_dedup(_docs(texts), jaccard_threshold=0.7, config=cfg)
+    pre = minhash_dedup(
+        _docs(texts), jaccard_threshold=0.7, config=cfg,
+        prefilter_min_band_matches=52,
+    )
+    a = base.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = pre.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a["cluster_id"].tolist() == b["cluster_id"].tolist()
+    assert a["keep"].tolist() == b["keep"].tolist()
+    assert a["cluster_id"].nunique() >= 3  # fixture actually clusters
+
+
 def test_simhash_dedup():
     from string_grouper_ray.pipelines.dedup import simhash_dedup
 
