@@ -246,21 +246,32 @@ class _SimHasher:
 
     @staticmethod
     def simhash(shingles: np.ndarray) -> np.uint64:
-        if len(shingles) == 0:
-            return np.uint64(0)
-        bits = ((shingles[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for b in range(64):
-            if votes[b] > 0:
-                out |= np.uint64(1) << np.uint64(b)
+        return _SimHasher.simhash_batch([shingles])[0]
+
+    @staticmethod
+    def simhash_batch(shingle_lists) -> np.ndarray:
+        """Per-bit majority votes for a whole batch in one vectorized pass:
+        unpack all rows' shingle bits at once, ``add.reduceat`` the ±1 votes
+        per row — no per-row or per-bit Python."""
+        n = len(shingle_lists)
+        out = np.zeros(n, dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64, count=n)
+        nz = np.flatnonzero(lens)
+        if not len(nz):
+            return out
+        flat = np.concatenate([shingle_lists[i] for i in nz]).astype(np.uint64)
+        bit_ids = np.arange(64, dtype=np.uint64)[None, :]
+        bits = ((flat[:, None] >> bit_ids) & np.uint64(1)).astype(np.int64)
+        starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+        sig_bits = (votes > 0).astype(np.uint64)
+        out[nz] = (sig_bits << bit_ids).sum(axis=1, dtype=np.uint64)
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         shingles = self.tokenizer.shingle_hashes_batch(t[self.text_col].to_pylist())
-        sigs = np.array([self.simhash(s) for s in shingles], dtype=np.uint64)
+        sigs = self.simhash_batch(shingles)
         rows = t["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
         out_band, out_key, out_row, out_sig = [], [], [], []
         for b in range(4):

@@ -362,19 +362,11 @@ def pair_dots(
 
 
 def pairwise_dot(a: CSRBatch, b: CSRBatch) -> np.ndarray:
-    """Row-aligned sparse dot (operator M3, ``string_grouper.py:433-440``)."""
+    """Row-aligned sparse dot (operator M3, ``string_grouper.py:433-440``):
+    the i-th row of ``a`` against the i-th row of ``b``, which is exactly
+    :func:`pair_dots` over the identity pairing — one vectorized sparse
+    intersection for the whole batch, no per-row loop."""
     if a.n_rows != b.n_rows:
         raise ValueError("pairwise_dot requires equal row counts")
-    out = np.zeros(a.n_rows, dtype=np.float64)
-    for i in range(a.n_rows):
-        ia = a.indices[a.indptr[i] : a.indptr[i + 1]]
-        va = a.data[a.indptr[i] : a.indptr[i + 1]]
-        ib = b.indices[b.indptr[i] : b.indptr[i + 1]]
-        vb = b.data[b.indptr[i] : b.indptr[i + 1]]
-        # merge-intersect two sorted index lists
-        pos = np.searchsorted(ib, ia)
-        pos_ok = pos < len(ib)
-        hit = np.zeros(len(ia), dtype=bool)
-        hit[pos_ok] = ib[pos[pos_ok]] == ia[pos_ok]
-        out[i] = float(np.dot(va[hit], vb[pos[hit]]))
-    return out
+    idx = np.arange(a.n_rows, dtype=np.int64)
+    return pair_dots(a, b, idx, idx)
