@@ -78,15 +78,25 @@ def run_headline() -> dict:
         batch_size=2048,
         verify_broadcast_max_rows=0 if force_distributed else 8_000_000,
     )
-    t0 = time.time()
-    out = dedup_clip_table(
-        clip_dir, output_path=None, config=cfg, hydrate_payload=False,
-        with_containment=True, force_distributed=force_distributed,
+    # min-of-N like the per-query timings: single observations mis-rank on
+    # this noisy host (headline repeats skipped for large force-distributed
+    # runs, which take tens of minutes each)
+    repeats = 1 if force_distributed or CLIP_ROWS > 500_000 else int(
+        os.environ.get("GRAFT_HEADLINE_REPEATS", "2")
     )
-    n = out.count()
-    dt = time.time() - t0
+    times, n = [], 0
+    for _ in range(repeats):
+        t0 = time.time()
+        out = dedup_clip_table(
+            clip_dir, output_path=None, config=cfg, hydrate_payload=False,
+            with_containment=True, force_distributed=force_distributed,
+        )
+        n = out.count()
+        times.append(time.time() - t0)
+    dt = min(times)
     ray.shutdown()
-    return {"seconds": dt, "rows": n, "clips_per_sec": round(n / dt, 1)}
+    return {"seconds": dt, "rows": n, "clips_per_sec": round(n / dt, 1),
+            "seconds_all": [round(t, 2) for t in times]}
 
 
 def run_queries() -> tuple[dict, dict]:
@@ -192,6 +202,7 @@ def main():
         "metric": "clip-table end-to-end near-dup dedup wall time",
         "value": round(headline["seconds"], 2),
         "unit": "sec",
+        "value_all": headline.get("seconds_all"),
         "queries": queries,
         "queries_all": queries_all,
         "sf": SF_DIR,
