@@ -102,6 +102,12 @@ def nearest_join(
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # PYARROW HAZARD (16.1): pc.coalesce over two ChunkedArrays with
+        # DIFFERENT chunk layouts silently misaligns values (a double cast
+        # collapses one side to a single chunk while the sibling column
+        # keeps the block's 16-odd concat chunks; observed as unmatched
+        # dupes coalescing to another row's id). Normalize layouts first.
+        t = t.combine_chunks()
         # a bucket where no dupe matched produces all-null columns that Arrow
         # types as `null` — cast to the expected types before coalescing
         m_text = t["m_text"]

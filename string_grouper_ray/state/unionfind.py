@@ -251,6 +251,11 @@ def _cc_distributed(
         def shortcut(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            # combine_chunks first: pc.coalesce over two ChunkedArrays with
+            # different chunk layouts misaligns values in pyarrow 16.1 (the
+            # cast can collapse one side to a single chunk) — here that
+            # would silently corrupt component labels
+            t = t.combine_chunks()
             lbl = pc.coalesce(
                 t["p_label"].cast(pa.int64()), t["label"].cast(pa.int64())
             )

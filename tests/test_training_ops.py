@@ -47,6 +47,45 @@ def test_minhash_dedup_clusters_near_dups():
     assert out["keep"].tolist() == [True, False, False, True, False, True]
 
 
+def test_nearest_join_unmatched_keep_self_across_fragmented_blocks():
+    """Regression: pyarrow 16.1's pc.coalesce misaligns values when its two
+    ChunkedArray args have different chunk layouts (a cast can collapse one
+    side to a single chunk while the sibling column keeps the block's concat
+    chunks). In nearest_join that silently rewrote unmatched dupes'
+    most_similar_idx to OTHER rows' ids — caught by the sf0.001 oracle.
+    Fragment the inputs into many 1-row blocks so finish() sees multi-chunk
+    blocks, with most dupes unmatched."""
+    from string_grouper_ray.pipelines.match import match_edges
+    from string_grouper_ray.pipelines.nearest import nearest_join
+
+    masters = ["alpha beta gamma", "delta epsilon zeta"]
+    dupes = ["alpha beta gamma!", "unrelated text one", "different words two",
+             "nothing like them", "far far away", "completely else"]
+
+    def frag(texts, base):
+        parts = [
+            ray.data.from_arrow(pa.table({
+                "row_idx": pa.array([base + i], type=pa.int64()),
+                "text": pa.array([t], type=pa.string()),
+            }))
+            for i, t in enumerate(texts)
+        ]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
+
+    m_ds, d_ds = frag(masters, 0), frag(dupes, 100)
+    cfg = CFG.with_options(min_similarity=0.8, max_n_matches=None,
+                           force_symmetries=False)
+    edges, _ = match_edges(m_ds, d_ds, cfg)
+    out = nearest_join(d_ds, m_ds, edges, cfg).to_pandas().sort_values("row_idx")
+    unmatched = out[~out["matched"]]
+    assert (unmatched["most_similar_idx"] == unmatched["row_idx"]).all()
+    matched = out[out["matched"]]
+    assert matched["most_similar_idx"].isin([0, 1]).all()
+
+
 def test_minhash_dedup_band_match_prefilter_equivalent():
     """The exact-recall gate config (lsh_bands=num_perm) with the
     band-match prefilter must produce the same clusters as without it —
