@@ -820,6 +820,13 @@ SELECT l AS left_id, r AS right_id, round(j, 4) AS jaccard FROM jac WHERE j >= 0
     # clusters = CC over {pairs: true Jaccard of distinct normalized 3-grams
     # >= 0.7}; equals the pipeline's output because the rows_per_band=1 LSH
     # has recall 1.0 at this threshold (see _q_dedup_minhash_docs docstring)
+    # ASCII-ONLY ASSUMPTION (this SQL and simhash_sql below, like the <3-char
+    # sentinel caveat): the pipeline normalizes NFKD→ASCII-ignore
+    # (normalize_to_ascii=True) and FNV-hashes UTF-8 BYTES, while these
+    # oracles normalize with lower+regexp_replace only and hash per-character
+    # ascii() codepoints — equivalent iff documents.text is pure ASCII.
+    # tests/test_fixture_assumptions.py asserts that on the fixture so the
+    # gate fails loudly if the generator ever emits non-ASCII text.
     minhash_sql = r"""
 WITH RECURSIVE docs AS (
     SELECT doc_id AS id, regexp_replace(lower(text), '[,-./\s]', '', 'g') AS s

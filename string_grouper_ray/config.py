@@ -81,7 +81,11 @@ class EngineConfig:
     # any LSH band-bucket with more than this many members is salted into
     # sub-bucket chunk pairs so no single verify task goes quadratic.
     max_bucket_size: int = 500
-    # exact top-k matmul: rows per broadcast right-side chunk
+    # exact top-k matmul: rows per broadcast right-side chunk. Worker memory
+    # math: each live Postings chunk is ~nnz×13 B (≈30 trigrams/row → ~31 MB
+    # at the default), plus up to 256 MB transient/cached float64 when the
+    # tiny-vocabulary dense-gemm path engages repeatedly (sparse.Postings
+    # .dense caches from the 2nd call; bounded by its 32M-cell gate).
     right_chunk_rows: int = 80_000
     # per-batch size for the vectorize / matmul stages
     batch_size: int = 4096

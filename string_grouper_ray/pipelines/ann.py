@@ -92,14 +92,30 @@ def knn_brute_force(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     config: Optional[EngineConfig] = None,
+    max_query_rows: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Exact cosine top-k of every query against the corpus.
 
     Per-batch partial top-k (map side) then per-query global top-k merge —
     the partial+final aggregate pattern; the corpus streams, only
     (n_queries × k × n_batches) candidate rows shuffle.
+
+    The QUERY side is collected on the driver and broadcast (the lookup
+    workload this serves: few queries, huge corpus). ``max_query_rows``
+    makes that assumption explicit — 1M × 128-dim float64 ≈ 1 GB broadcast;
+    for query sets beyond it use :func:`knn_lsh`/:func:`knn_ivf` or swap the
+    sides.
     """
     config = config or EngineConfig()
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"knn_brute_force: query set has {n_q} rows, above the driver "
+            f"broadcast guard of {max_query_rows} (≈8 B × dim × rows on the "
+            "driver and in the object store). Use knn_lsh/knn_ivf for large "
+            "query sets, raise max_query_rows on a big-memory driver, or "
+            "swap corpus/queries."
+        )
     qdf = queries.select_columns([id_col, vec_col]).to_pandas()
     qids = qdf[id_col].to_numpy(dtype=np.int64)
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])

@@ -61,31 +61,49 @@ def exact_dedup(
 
 class _ShingleJaccardVerify:
     """True Jaccard on distinct shingle sets for candidate pairs carrying
-    both shingle arrays (sorted uint64)."""
+    both shingle arrays (sorted-unique uint64, packed binary).
+
+    Fully vectorized: both columns flatten zero-copy off the Arrow buffers,
+    all pairs' elements go through ONE ``lexsort((value, pair_id))``, and a
+    value that appears twice under the same pair id is — by per-side
+    uniqueness — exactly one intersection element, counted per pair with a
+    single ``bincount``. No per-pair Python (the old ``intersect1d`` loop
+    was the verify bottleneck at scale)."""
 
     def __init__(self, threshold: float):
         self.threshold = threshold
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.packing import unpack_u64
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.packing import unpack_binary_column
 
-        sims = np.empty(len(batch), dtype=np.float64)
-        ls = batch["l_sh"].to_numpy()
-        rs = batch["r_sh"].to_numpy()
-        for i in range(len(batch)):
-            a = unpack_u64(ls[i])
-            b = unpack_u64(rs[i])
-            if len(a) == 0 and len(b) == 0:
-                sims[i] = 1.0
-                continue
-            inter = len(np.intersect1d(a, b, assume_unique=True))
-            union = len(a) + len(b) - inter
-            sims[i] = inter / union if union else 0.0
+        n = len(batch)
+        lvals, loff = unpack_binary_column(batch["l_sh"], np.uint64)
+        rvals, roff = unpack_binary_column(batch["r_sh"], np.uint64)
+        l_len = np.diff(loff)
+        r_len = np.diff(roff)
+        pid = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), l_len),
+                np.repeat(np.arange(n, dtype=np.int64), r_len),
+            ]
+        )
+        vals = np.concatenate([lvals, rvals])
+        inter = np.zeros(n, dtype=np.int64)
+        if len(vals):
+            order = np.lexsort((vals, pid))
+            pid_s, vals_s = pid[order], vals[order]
+            dup = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+            if dup.any():
+                inter = np.bincount(pid_s[1:][dup], minlength=n)
+        union = l_len + r_len - inter
+        # both-empty shingle sets (e.g. two sub-ngram-length texts) → 1.0
+        sims = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = sims >= self.threshold
-        return pa.table(  # arrow out (see functions/grouped.py run())
+        mask = pa.array(keep)
+        return pa.table(
             {
-                "left_idx": pa.array(batch["left_idx"].to_numpy(dtype=np.int64)[keep]),
-                "right_idx": pa.array(batch["right_idx"].to_numpy(dtype=np.int64)[keep]),
+                "left_idx": batch["left_idx"].cast(pa.int64()).filter(mask),
+                "right_idx": batch["right_idx"].cast(pa.int64()).filter(mask),
                 "similarity": pa.array(sims[keep]),
             }
         )
@@ -226,13 +244,22 @@ def minhash_dedup(
     withl_schema = pa.schema(
         list(pair_schema) + [pa.field("l_idx", pa.int64()), pa.field("l_sh", pa.binary())]
     )
+    # bundle cap: these joins carry packed shingle sets (~8 B per distinct
+    # shingle per doc — KBs/row on the long-document corpora minhash
+    # targets), so the narrow-row default of 131k rows/bundle would make a
+    # single tag-map output block multi-GB. 2048 rows ≈ 16 MB at 1 KB docs,
+    # still hundreds of MB at 100 KB docs — the wide-payload hazard the
+    # shuffle_join docstring warns about.
+    _sh_bundle = 2048
     withl = shuffle_join(pairs, lsh_l, on="left_idx", right_on="l_idx", how="inner",
-                         left_schema=pair_schema, right_schema=lsch)
+                         left_schema=pair_schema, right_schema=lsch,
+                         bundle_rows=_sh_bundle)
     withlr = shuffle_join(withl, lsh_r, on="right_idx", right_on="r_idx", how="inner",
-                          left_schema=withl_schema, right_schema=rsch)
+                          left_schema=withl_schema, right_schema=rsch,
+                          bundle_rows=_sh_bundle)
     verified = stage_map_batches(
         withlr, _ShingleJaccardVerify, (jaccard_threshold,), config,
-        batch_format="pandas", batch_size=config.batch_size,
+        batch_format="pyarrow", batch_size=config.batch_size,
     )
     return _cluster_and_keep(verified, base, id_col, config)
 

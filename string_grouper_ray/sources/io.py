@@ -77,14 +77,17 @@ def read_table_with_row_idx(
         files = sorted(
             _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         )
-        non_parquet = any(
-            not (e.startswith(".") or e.startswith("_"))
-            and not e.endswith(".parquet")
-            and not os.path.isdir(os.path.join(path, e))
-            for e in os.listdir(path)
-        )
-        if non_parquet:
-            return None  # mixed-format directory: let the generic reader decide
+        # mixed-format detection must walk the SAME tree the recursive glob
+        # reads: a non-parquet file inside a nested partition subdirectory
+        # would otherwise be silently skipped here while the generic reader
+        # (the fallback this check exists to trigger) would try to read it
+        for root, dirs, fnames in os.walk(path):
+            dirs[:] = [d for d in dirs if not (d.startswith(".") or d.startswith("_"))]
+            if any(
+                not (e.startswith(".") or e.startswith("_")) and not e.endswith(".parquet")
+                for e in fnames
+            ):
+                return None  # mixed-format directory: let the generic reader decide
     elif path.endswith(".parquet"):
         files = [path]
     else:

@@ -184,20 +184,30 @@ class Postings:
         return len(self.col_ptr) - 1
 
     def dense(self) -> np.ndarray:
-        """Densified (n_cols × n_rows) float64 view, cached per process.
+        """Densified (n_cols × n_rows) float64 view.
 
         Used by the tiny-vocabulary gemm fast path of :func:`topn_multiply`;
-        only ever built when ``n_rows × n_cols`` fits the dense cutoff there.
-        The cache lives on the deserialized per-worker copy — it is never
-        re-pickled into the object store.
+        only ever built when ``n_rows × n_cols`` fits the dense cutoff there
+        (≤32M cells = ≤256 MB float64). Cached on the worker-resident copy
+        only from the SECOND call on: a one-shot dense branch (common when
+        the size heuristic flips per left batch) must not pin 256 MB on the
+        process for its lifetime, while steady-state gemm callers amortize
+        one rebuild. The cache is never re-pickled into the object store;
+        worst-case resident overhead is 256 MB × live Postings chunks per
+        worker process (see the ``right_chunk_rows`` memory note in
+        config.py).
         """
         d = getattr(self, "_dense_t", None)
-        if d is None:
-            d = np.zeros((self.n_cols, self.n_rows), dtype=np.float64)
-            cols = np.repeat(
-                np.arange(self.n_cols, dtype=np.int64), np.diff(self.col_ptr)
-            )
-            d[cols, self.row_idx.astype(np.int64)] = self.weight
+        if d is not None:
+            return d
+        d = np.zeros((self.n_cols, self.n_rows), dtype=np.float64)
+        cols = np.repeat(
+            np.arange(self.n_cols, dtype=np.int64), np.diff(self.col_ptr)
+        )
+        d[cols, self.row_idx.astype(np.int64)] = self.weight
+        calls = getattr(self, "_dense_calls", 0) + 1
+        self._dense_calls = calls
+        if calls >= 2:
             self._dense_t = d
         return d
 
@@ -242,7 +252,15 @@ def topn_multiply(
     # flop count undercuts the scatter volume, multiply dense sub-blocks via
     # BLAS instead. Semantics are identical: all tf-idf weights are strictly
     # positive, so dot > 0 iff the rows share a term — the >= tiny threshold
-    # below excludes structural zeros either way.
+    # below excludes structural zeros either way. Rounding caveat (same
+    # family as the n_blocks divergence documented in compat.py): the gemm
+    # and the COO scatter-add sum the same products in DIFFERENT orders, so
+    # a pair whose true cosine sits within ~1 ulp of ``threshold`` can be
+    # kept by one branch and dropped by the other — i.e. the edge set at an
+    # exact-threshold boundary depends on the size heuristic. Verified
+    # equal to 1e-12 on non-adversarial inputs (test_topn_multiply_dense_
+    # equals_coo); callers needing branch-independent boundaries should
+    # quantize similarities before thresholding.
     n_cols = right.n_cols
     use_dense = False
     if n_right * n_cols <= 32_000_000 and len(left.indices):
@@ -254,6 +272,7 @@ def topn_multiply(
     if force_dense is not None:
         use_dense = force_dense
     sub = max(1, min(left.n_rows, dense_budget // max(1, n_right)))
+    right_dense = None
     out_l: List[np.ndarray] = []
     out_r: List[np.ndarray] = []
     out_s: List[np.ndarray] = []
@@ -267,9 +286,11 @@ def topn_multiply(
             np.diff(left.indptr[start : stop + 1]).astype(np.int64),
         )
         if use_dense:
+            if right_dense is None:
+                right_dense = right.dense()  # built once per call, not per sub-block
             ld = np.zeros((stop - start, n_cols), dtype=np.float64)
             ld[rows_local, terms] = vals
-            scores = ld @ right.dense()
+            scores = ld @ right_dense
         else:
             plen = (right.col_ptr[terms + 1] - right.col_ptr[terms]).astype(np.int64)
             pos = _gather_positions(right.col_ptr[terms], plen)

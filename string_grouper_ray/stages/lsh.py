@@ -406,70 +406,76 @@ def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
 class _PairsFromMembersets:
     """Emit candidate pairs from deduplicated membersets, vectorized: all
     mode-0 rows go through the segment-pair (clique) or first-vs-rest (star)
-    kernel at once."""
+    kernel at once. Arrow-native — the packed member/side payloads are read
+    straight off the binary column buffers (one ``.view`` per column, no
+    per-row ``frombuffer``, no pandas block conversion in the widest stage).
+    """
 
     def __init__(self, cross: bool, emission: str = "clique"):
         self.cross = cross
         self.star = emission == "star" and not cross
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        l_members = batch["l_members"].to_numpy()
-        r_members = batch["r_members"].to_numpy()
-        l_sides_col = batch["l_sides"].to_numpy()
-        r_sides_col = batch["r_sides"].to_numpy()
-        modes = batch["mode"].to_numpy()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.packing import gather_ranges, unpack_binary_column
 
-        outs = []
+        lvals, loff = unpack_binary_column(batch["l_members"], np.int64)
+        rvals, roff = unpack_binary_column(batch["r_members"], np.int64)
+        lsv, _ = unpack_binary_column(batch["l_sides"], np.int8)
+        rsv, _ = unpack_binary_column(batch["r_sides"], np.int8)
+        modes = batch["mode"].to_numpy(zero_copy_only=False)
+        l_sizes = np.diff(loff)  # l_sides lengths == l_members lengths
+
+        outs: List[Tuple[np.ndarray, np.ndarray]] = []
         same_mask = modes == 0
+
+        def emit_group(starts: np.ndarray, g_sizes: np.ndarray, star: bool) -> None:
+            if not len(starts):
+                return
+            gather = gather_ranges(starts, g_sizes)
+            all_rows = lvals[gather]
+            all_sides = lsv[gather]
+            offsets = np.zeros(len(g_sizes), dtype=np.int64)
+            np.cumsum(g_sizes[:-1], out=offsets[1:])
+            if star:
+                # members are sorted, so element 0 is the bucket min:
+                # (min, other) spanning edges, PLUS a second spanning set
+                # from the max member — one borderline anchor failing
+                # verify must not disconnect the whole bucket in every
+                # band at once (the anchors decorrelate the failures)
+                csum = np.cumsum(g_sizes - 1) - (g_sizes - 1)
+                within = np.arange(
+                    int((g_sizes - 1).sum()), dtype=np.int64
+                ) - np.repeat(csum, g_sizes - 1)
+                ri = np.repeat(offsets, g_sizes - 1) + 1 + within
+                li = np.repeat(offsets, g_sizes - 1)
+                li2 = np.repeat(offsets + g_sizes - 1, g_sizes - 1)
+                ri2 = np.repeat(offsets, g_sizes - 1) + within
+                li = np.concatenate([li, li2])
+                ri = np.concatenate([ri, ri2])
+            else:
+                li, ri = _segment_pairs(offsets, g_sizes)
+            outs.append(
+                self._finish(all_rows[li], all_rows[ri], all_sides[li], all_sides[ri])
+            )
+
         if same_mask.any():
-            arrs = [np.frombuffer(b, dtype=np.int64) for b in l_members[same_mask]]
-            sarrs = [np.frombuffer(b, dtype=np.int8) for b in l_sides_col[same_mask]]
-            sizes = np.array([len(a) for a in arrs], dtype=np.int64)
-
-            def emit_group(sel: np.ndarray, star: bool) -> None:
-                idxs = np.flatnonzero(sel)
-                if not len(idxs):
-                    return
-                g_sizes = sizes[idxs]
-                offsets = np.concatenate([[0], np.cumsum(g_sizes)[:-1]]).astype(np.int64)
-                all_rows = np.concatenate([arrs[i] for i in idxs])
-                all_sides = np.concatenate([sarrs[i] for i in idxs])
-                if star:
-                    # members are sorted, so element 0 is the bucket min:
-                    # (min, other) spanning edges, PLUS a second spanning set
-                    # from the max member — one borderline anchor failing
-                    # verify must not disconnect the whole bucket in every
-                    # band at once (the anchors decorrelate the failures)
-                    csum = np.cumsum(g_sizes - 1) - (g_sizes - 1)
-                    within = np.arange(
-                        int((g_sizes - 1).sum()), dtype=np.int64
-                    ) - np.repeat(csum, g_sizes - 1)
-                    ri = np.repeat(offsets, g_sizes - 1) + 1 + within
-                    li = np.repeat(offsets, g_sizes - 1)
-                    li2 = np.repeat(offsets + g_sizes - 1, g_sizes - 1)
-                    ri2 = np.repeat(offsets, g_sizes - 1) + within
-                    li = np.concatenate([li, li2])
-                    ri = np.concatenate([ri, ri2])
-                else:
-                    li, ri = _segment_pairs(offsets, g_sizes)
-                outs.append(
-                    self._finish(all_rows[li], all_rows[ri], all_sides[li], all_sides[ri])
-                )
-
+            starts = loff[:-1][same_mask]
+            sizes = l_sizes[same_mask]
             if self.star:
                 # small membersets get the full clique: star's single-anchor
                 # edges fail verify together when the anchor is a borderline
                 # member, splitting stable clusters (clique cost at <=16
                 # members is bounded: <=120 pairs)
-                emit_group(sizes <= 16, star=False)
-                emit_group(sizes > 16, star=True)
+                small = sizes <= 16
+                emit_group(starts[small], sizes[small], star=False)
+                emit_group(starts[~small], sizes[~small], star=True)
             else:
-                emit_group(np.ones(len(sizes), dtype=bool), star=False)
+                emit_group(starts, sizes, star=False)
         for i in np.flatnonzero(modes == 1):
-            lhs = np.frombuffer(l_members[i], dtype=np.int64)
-            rhs = np.frombuffer(r_members[i], dtype=np.int64)
-            lss = np.frombuffer(l_sides_col[i], dtype=np.int8)
-            rss = np.frombuffer(r_sides_col[i], dtype=np.int8)
+            lhs = lvals[loff[i] : loff[i + 1]]
+            rhs = rvals[roff[i] : roff[i + 1]]
+            lss = lsv[loff[i] : loff[i + 1]]
+            rss = rsv[roff[i] : roff[i + 1]]
             if self.star:
                 # span the chunk pair: union's min vs every other member,
                 # plus a max-anchored second span (decorrelated failures)
@@ -498,14 +504,16 @@ class _PairsFromMembersets:
                     "right_idx": pa.array([], type=pa.int64()),
                 }
             )
-        # arrow out: pair volume is the pipeline's peak row count, and pandas
-        # blocks are pickled into the object store instead of zero-copy
-        return pa.Table.from_pandas(
-            pd.concat(outs, ignore_index=True).drop_duplicates(),
-            preserve_index=False,
-        )
+        a = np.concatenate([o[0] for o in outs])
+        b = np.concatenate([o[1] for o in outs])
+        # within-batch dedup (numpy lexsort — no pandas)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"left_idx": pa.array(a[keep]), "right_idx": pa.array(b[keep])})
 
-    def _finish(self, a, b, sa, sb) -> pd.DataFrame:
+    def _finish(self, a, b, sa, sb) -> Tuple[np.ndarray, np.ndarray]:
         if self.cross:
             keep = sa != sb
             a2 = np.where(sa == 0, a, b)
@@ -514,7 +522,7 @@ class _PairsFromMembersets:
         else:
             keep = a != b
             a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
-        return pd.DataFrame({"left_idx": a, "right_idx": b})
+        return np.ascontiguousarray(a, dtype=np.int64), np.ascontiguousarray(b, dtype=np.int64)
 
 
 def _text_side(t: pa.Table, text_col: str, idx_name: str, txt_name: str) -> pa.Table:
@@ -907,7 +915,7 @@ def lsh_match_edges(
     msets = dedup_pairs(msets, ["mset_hash"])
     pairs = msets.map_batches(
         _PairsFromMembersets(cross, config.lsh_pair_emission),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=8192,
     )
     pairs = dedup_pairs(pairs, ["left_idx", "right_idx"]).materialize()
