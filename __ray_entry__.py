@@ -260,10 +260,19 @@ def _q_dedup_minhash_docs_prod(sf_dir: str):
     """The production MinHash config (32 bands x 4 rows): sub-threshold
     pairs rarely become candidates (P = 1-(1-J^4)^32, ~0.3% at J=0.1), so
     candidate volume stays near-linear on vocabulary-sharing corpora where
-    the exact-recall gate config above goes quadratic. Recall >= 0.99 at
-    the same shingle/threshold config is pytest-gated
-    (tests/test_training_ops.py); rows-only driver check — the exact-config
-    twin above carries the hash oracle for the same machinery."""
+    the exact-recall gate config above goes quadratic.
+
+    Oracle: the SAME exact-Jaccard cluster closure as the exact-recall twin
+    — valid because (a) precision is structural (every emitted edge passes
+    the true-Jaccard >= 0.7 verify, so prod clusters always REFINE the exact
+    closure), and (b) on the sf fixtures recall is deterministic-complete:
+    every true pair has J >= 0.90 (measured; nothing in [0.6, 0.9)), where
+    the 32x4 banding detects with P >= 1 - 1.4e-15 per pair, and the seeded
+    signatures make the outcome a fixed fact of the fixture, hash-checked
+    here. Gray-zone behavior (pairs near the S-curve midpoint) is
+    quantitatively pytest-gated instead: recall >= 0.99 / precision == 1 vs
+    the exact closure on a fixture WITH borderline pairs
+    (tests/test_training_ops.py::test_minhash_prod_recall_precision_vs_exact)."""
     import ray.data
 
     from string_grouper_ray.pipelines.dedup import minhash_dedup
@@ -471,27 +480,29 @@ def _q_regroup_events(sf_dir: str):
 
 
 def _q_audio_features(sf_dir: str):
-    """Multimodal decode+feature stage over a deterministic synthetic clip
-    table derived from sf_dir's size (no external data; audio plumbing is
-    exercised for real on WAV/PCM16)."""
+    """Multimodal decode+feature stage over the SQL-expressible tone table
+    (sources/synth.tone_clip_table — integer sawtooth PCM, no RNG): every
+    WAV payload's samples are reproduced bit-exactly by the DuckDB oracle,
+    which recomputes duration/RMS/peak/silence/ZCR from the same integer
+    formula. The decode path (WAV container parse → float PCM) is thereby
+    hash-gated end to end."""
     import ray.data
 
     from string_grouper_ray.pipelines.multimodal import audio_features
-    from string_grouper_ray.sources.synth import generate_clip_table
+    from string_grouper_ray.sources.synth import tone_clip_table
 
-    n = 200
-    table = generate_clip_table(n, seed=42)
-    ds = ray.data.from_arrow(table)
+    ds = ray.data.from_arrow(tone_clip_table(200))
     out = audio_features(ds, _cfg(use_actor_pools=False))
 
     def finish(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         return pa.table(
             {
                 "clip_id": t["clip_id"],
                 "true_dur_ms": _round(t["true_dur_ms"], 1),
                 "rms": _round(t["rms"], 4),
+                "peak": _round(t["peak"], 4),
+                "silence_ratio": _round(t["silence_ratio"], 4),
+                "zcr": _round(t["zcr"], 4),
             }
         )
 
@@ -500,33 +511,32 @@ def _q_audio_features(sf_dir: str):
 
 def _q_audio_resample(sf_dir: str):
     """Windowed-sinc resample stage (pipelines/multimodal.py Resampler) over
-    the same deterministic synthetic clip table; result = per-clip decoded
-    length + RMS at the target rate (rows-only check: payloads are binary)."""
+    the tone table; the oracle hash-gates the per-clip decoded OUTPUT LENGTH
+    at the target rate (exactly computable in SQL from the resampler's
+    length contract). Numeric resample quality is pytest-gated instead
+    (tests/test_audio_invariant.py sine-SNR test) — the float convolution
+    itself has no bit-exact SQL equivalent."""
     import numpy as np
 
     import ray.data
 
     from string_grouper_ray.pipelines.multimodal import resample_audio
     from string_grouper_ray.sources.audio import decode_wav
-    from string_grouper_ray.sources.synth import generate_clip_table
+    from string_grouper_ray.sources.synth import tone_clip_table
 
-    table = generate_clip_table(200, seed=42)
-    ds = ray.data.from_arrow(table)
+    ds = ray.data.from_arrow(tone_clip_table(200))
     out = resample_audio(ds, 8000, _cfg(use_actor_pools=False))
 
     def finish(t: pa.Table) -> pa.Table:
         ns = np.zeros(len(t), dtype=np.int64)
-        rms = np.zeros(len(t), dtype=np.float64)
         for i, (b, c) in enumerate(zip(t["bytes"].to_pylist(), t["codec"].to_pylist())):
             pcm, _sr = decode_wav(b, c)
             ns[i] = len(pcm)
-            rms[i] = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
         return pa.table(
             {
                 "clip_id": t["clip_id"],
                 "sr_hz": t["sr_hz"],
                 "n_samples": pa.array(ns),
-                "rms": _round(pa.array(rms), 4),
             }
         )
 
@@ -535,21 +545,23 @@ def _q_audio_resample(sf_dir: str):
 
 def _q_frame_sample(sf_dir: str):
     """Video frame-sampling stage (pipelines/multimodal.py FrameSampler)
-    over a deterministic synthetic rawv1 video table — one row per sampled
-    frame with per-frame mean RGB (rows-only check: payloads are binary)."""
+    over the SQL-expressible linear-pixel rawv1 table (sources/video.py
+    linear_video) — one row per sampled frame with the frame's exact integer
+    pixel sum, reproduced bit-identically by the DuckDB oracle (integer
+    arithmetic only; no float rounding ambiguity)."""
     import numpy as np
 
     import ray.data
 
     from string_grouper_ray.pipelines.multimodal import sample_frames
-    from string_grouper_ray.sources.video import synth_video
+    from string_grouper_ray.sources.video import linear_video
 
     n = 64
     table = pa.table(
         {
             "clip_id": pa.array(np.arange(n, dtype=np.int64)),
             "bytes": pa.array(
-                [synth_video(i, n_frames=48 + (i % 5)) for i in range(n)],
+                [linear_video(i, n_frames=48 + (i % 5)) for i in range(n)],
                 type=pa.binary(),
             ),
             "codec": pa.array(["rawv1"] * n),
@@ -559,16 +571,16 @@ def _q_frame_sample(sf_dir: str):
     out = sample_frames(ds, every_n_frames=12, config=_cfg(use_actor_pools=False))
 
     def finish(t: pa.Table) -> pa.Table:
-        mean_rgb = np.zeros(len(t), dtype=np.float64)
+        sums = np.zeros(len(t), dtype=np.int64)
         for i, fb in enumerate(t["frame_bytes"].to_pylist()):
-            mean_rgb[i] = float(np.frombuffer(fb, dtype=np.uint8).mean())
+            sums[i] = int(np.frombuffer(fb, dtype=np.uint8).astype(np.int64).sum())
         return pa.table(
             {
                 "clip_id": t["clip_id"],
                 "frame_idx": t["frame_idx"],
                 "width": t["width"],
                 "height": t["height"],
-                "mean_rgb": _round(pa.array(mean_rgb), 3),
+                "pix_sum": pa.array(sums),
             }
         )
 
@@ -576,9 +588,12 @@ def _q_frame_sample(sf_dir: str):
 
 
 def _q_frame_pipeline(sf_dir: str):
-    """Full video-frame chain: sample → bilinear resize to 16×16 → grid
-    mean-RGB features (one row per frame, list<float64> feature column;
-    rows-only gate)."""
+    """Full video-frame chain: sample → bilinear resize 32×32→16×16 → grid
+    mean-RGB features. The 2× downscale makes every bilinear weight exactly
+    0.25, so each resized pixel is round-half-even(sum-of-4 / 4) — pure
+    integer arithmetic the DuckDB oracle reproduces bit-exactly. Output:
+    per frame, the integer pixel sum of the feature vector
+    (feat_px_sum = Σ grid-cell-means × 16 = Σ resized pixels)."""
     import numpy as np
 
     import ray.data
@@ -588,14 +603,15 @@ def _q_frame_pipeline(sf_dir: str):
         resize_frames,
         sample_frames,
     )
-    from string_grouper_ray.sources.video import synth_video
+    from string_grouper_ray.sources.video import linear_video
 
     n = 48
     table = pa.table(
         {
             "clip_id": pa.array(np.arange(n, dtype=np.int64)),
             "bytes": pa.array(
-                [synth_video(i, n_frames=36) for i in range(n)], type=pa.binary()
+                [linear_video(i, n_frames=36, w=32, h=32) for i in range(n)],
+                type=pa.binary(),
             ),
             "codec": pa.array(["rawv1"] * n),
         }
@@ -605,12 +621,17 @@ def _q_frame_pipeline(sf_dir: str):
     feats = frame_features(resize_frames(frames, 16, 16, cfg), grid=4, config=cfg)
 
     def finish(t: pa.Table) -> pa.Table:
-        m = np.array([float(np.mean(f)) for f in t["frame_feat"].to_pylist()])
+        # Σ(48-dim cell-mean vector) × 16 == Σ resized pixels — exact in
+        # float64 (all cell means are dyadic rationals k/16 with k ≤ 4080)
+        s = np.array(
+            [int(round(float(np.sum(f)) * 16)) for f in t["frame_feat"].to_pylist()],
+            dtype=np.int64,
+        )
         return pa.table(
             {
                 "clip_id": t["clip_id"],
                 "frame_idx": t["frame_idx"],
-                "feat_mean": _round(pa.array(m), 3),
+                "feat_px_sum": pa.array(s),
             }
         )
 
@@ -930,6 +951,96 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
 """
 
+    # --- multimodal oracles: the fixtures are SQL-expressible by design ---
+    # tone_clip_table: ints[k] = ((a*k + b) % 24576) - 12288 per clip i with
+    # a = 97+2*(i%50), b = (i*997)%24576, n = 3200+640*(i%30) @16 kHz. The
+    # WAV decode divides by 32767; every aggregate below recomputes the same
+    # doubles (float-sum ORDER differs at ~1e-16 relative — far inside the
+    # 4-decimal rounding and the gate's 2e-4 tolerance).
+    audio_features_sql = r"""
+WITH clips AS (
+    SELECT i, 3200 + 640*(i % 30) AS n, 97 + 2*(i % 50) AS a, (i*997) % 24576 AS b
+    FROM (SELECT unnest(generate_series(0, 199)) AS i)
+),
+samples AS (
+    SELECT i, n, k,
+           CAST(((a * k + b) % 24576) - 12288 AS DOUBLE) / 32767 AS p,
+           CAST(((a * greatest(k - 1, 0) + b) % 24576) - 12288 AS DOUBLE) / 32767 AS prev
+    FROM (SELECT i, n, a, b, unnest(generate_series(0, n - 1)) AS k FROM clips)
+)
+SELECT printf('tone-%06d', i) AS clip_id,
+       round(n / 16.0, 1) AS true_dur_ms,
+       round(sqrt(avg(p * p)), 4) AS rms,
+       round(max(abs(p)), 4) AS peak,
+       round(avg(CASE WHEN abs(p) < 0.01 THEN 1.0 ELSE 0.0 END), 4) AS silence_ratio,
+       round(sum(CASE WHEN k > 0 AND ((p < 0) <> (prev < 0)) THEN 1 ELSE 0 END)
+             / CAST(n - 1 AS DOUBLE), 4) AS zcr
+FROM samples GROUP BY i, n
+"""
+
+    # resampler length contract: n_out = max(1, round(n_in / (sr_in/sr_out)))
+    # — at 16k→8k that is exactly n//2 (n is always even here)
+    audio_resample_sql = r"""
+WITH clips AS (
+    SELECT i, 3200 + 640*(i % 30) AS n
+    FROM (SELECT unnest(generate_series(0, 199)) AS i)
+)
+SELECT printf('tone-%06d', i) AS clip_id, 8000 AS sr_hz, n // 2 AS n_samples
+FROM clips
+"""
+
+    # linear_video pixel: (7i + 3f + 5y + 11x + 13c) % 256 over 32×24 RGB;
+    # sampled every 12 frames of n_frames = 48 + (i % 5)
+    frame_sample_sql = r"""
+WITH clips AS (
+    SELECT i, 48 + (i % 5) AS nf FROM (SELECT unnest(generate_series(0, 63)) AS i)
+),
+frames AS (SELECT i, unnest(generate_series(0, nf - 1, 12)) AS f FROM clips),
+px AS (
+    SELECT i, f, y, x, unnest([0, 1, 2]) AS c
+    FROM (
+        SELECT i, f, y, unnest(generate_series(0, 31)) AS x
+        FROM (SELECT i, f, unnest(generate_series(0, 23)) AS y FROM frames)
+    )
+)
+SELECT i AS clip_id, f AS frame_idx, 32 AS width, 24 AS height,
+       sum((7*i + 3*f + 5*y + 11*x + 13*c) % 256) AS pix_sum
+FROM px GROUP BY i, f
+"""
+
+    # frame pipeline: 32×32 input, exact 2× bilinear downscale — every
+    # output pixel is round-half-even(s/4) of the 4 covered input pixels
+    # (integer arithmetic below: q + [r=3] + [r=2 and q odd]); the feature
+    # pixel sum is the sum of those resized pixels
+    frame_pipeline_sql = r"""
+WITH clips AS (SELECT unnest(generate_series(0, 47)) AS i),
+frames AS (SELECT i, unnest([0, 12, 24]) AS f FROM clips),
+opx AS (
+    SELECT i, f, yo, xo, unnest([0, 1, 2]) AS c
+    FROM (
+        SELECT i, f, yo, unnest(generate_series(0, 15)) AS xo
+        FROM (SELECT i, f, unnest(generate_series(0, 15)) AS yo FROM frames)
+    )
+),
+cells AS (
+    SELECT i, f,
+           ((7*i + 3*f + 5*(2*yo) + 11*(2*xo) + 13*c) % 256
+          + (7*i + 3*f + 5*(2*yo) + 11*(2*xo + 1) + 13*c) % 256
+          + (7*i + 3*f + 5*(2*yo + 1) + 11*(2*xo) + 13*c) % 256
+          + (7*i + 3*f + 5*(2*yo + 1) + 11*(2*xo + 1) + 13*c) % 256) AS s
+    FROM opx
+),
+resized AS (
+    SELECT i, f,
+           (s // 4) + (CASE WHEN s % 4 = 3 THEN 1
+                            WHEN s % 4 = 2 AND (s // 4) % 2 = 1 THEN 1
+                            ELSE 0 END) AS v
+    FROM cells
+)
+SELECT i AS clip_id, f AS frame_idx, sum(v) AS feat_px_sum
+FROM resized GROUP BY i, f
+"""
+
     en = r"\b(the|and|of|to|in|is|that|for|with|was)\b"
     de = r"\b(der|die|das|und|ist|nicht|von|mit|den|ein)\b"
     fr = r"\b(le|la|les|et|est|une|dans|pour|que|des)\b"
@@ -976,6 +1087,10 @@ FROM documents
         "containment_part": containment_sql,
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "dedup_minhash_docs": minhash_sql,
+        # prod config: same closure — precision is structural (true-Jaccard
+        # verify) and fixture recall is deterministic-complete (see the
+        # _q_dedup_minhash_docs_prod docstring for the argument)
+        "dedup_minhash_docs_prod": minhash_sql,
         "dedup_simhash_docs": simhash_sql,
         "jaccard_part": jaccard_sql,
         "ann_topk": ann_sql,
@@ -1003,6 +1118,8 @@ FROM documents
             "SELECT user_id, event_id AS rep_event_id FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1"
         ),
-        # token_counts_bpe_docs / audio_* / frame_*: model/binary-payload
-        # based — rows-only check
+        "audio_features": audio_features_sql,
+        "audio_resample": audio_resample_sql,
+        "frame_sample": frame_sample_sql,
+        "frame_pipeline": frame_pipeline_sql,
     }

@@ -81,6 +81,16 @@ class EngineConfig:
     # any LSH band-bucket with more than this many members is salted into
     # sub-bucket chunk pairs so no single verify task goes quadratic.
     max_bucket_size: int = 500
+    # hot-bucket census sampling: None = auto (exact census below 500k input
+    # rows; 1/8 row sample above), 1.0 = always exact, (0, 1) = explicit
+    # sample rate. A sampled census bands only the sampled rows (small,
+    # finishes fast) and lets the FULL banding stream straight into the
+    # salted shuffle with no materialize barrier — salting never changes the
+    # pair set (equivalence-tested), so a mis-estimated hot bucket costs
+    # balance, not correctness. Detection odds at 1/8: a just-hot 800-row
+    # bucket is flagged with P ≈ 1 - 1e-6; a missed 600-row bucket costs one
+    # ~180k-pair task — bounded.
+    census_sample_rate: Optional[float] = None
     # exact top-k matmul: rows per broadcast right-side chunk. Worker memory
     # math: each live Postings chunk is ~nnz×13 B (≈30 trigrams/row → ~31 MB
     # at the default), plus up to 256 MB transient/cached float64 when the
@@ -205,3 +215,60 @@ class EngineConfig:
 
     def with_options(self, **kwargs) -> "EngineConfig":
         return replace(self, **kwargs)
+
+    @classmethod
+    def for_cluster(cls, **overrides) -> "EngineConfig":
+        """Derive the broadcast / driver-collect cutoffs from the CONNECTED
+        cluster's actual resources instead of the single-node defaults.
+
+        Assumptions made explicit (the defaults bake in one 128 GiB node):
+
+        * ``verify_broadcast_max_rows`` — the broadcast CSR (~360 B/row:
+          ~30 trigram postings × 12 B) is resident once PER NODE in its
+          plasma store (workers map it zero-copy), so the binding constraint
+          is the SMALLEST node's object store (min, not aggregate), capped
+          at 25% of it. The DRIVER additionally pays ~3× transiently while
+          assembling (collect_row_csr), so the driver node's total memory
+          caps it too (30%/3×).
+        * ``rep_broadcast_max_rows`` — plain int64 id array, 8 B/row, same
+          per-node store constraint at 10%.
+        * ``cc_driver_max_edges`` — edges are collected to the DRIVER HEAP
+          (~16 B/edge numpy), so this scales with driver memory (20%), not
+          with cluster size; a bigger cluster does not buy a bigger driver.
+
+        On a heterogeneous cluster this keeps the same binary safe: a node
+        with a small object store lowers the broadcast cutovers rather than
+        OOMing plasma. Explicit ``overrides`` win over every derivation.
+        """
+        import ray
+
+        if not ray.is_initialized():
+            return cls(**overrides)
+        try:
+            nodes = [n for n in ray.nodes() if n.get("Alive")]
+            min_store = min(
+                int(n["Resources"].get("object_store_memory", 0)) for n in nodes
+            )
+            driver_mem = int(
+                min(
+                    (
+                        n["Resources"].get("memory", float("inf"))
+                        for n in nodes
+                        if n.get("IsHeadNode") or len(nodes) == 1
+                    ),
+                    default=float("inf"),
+                )
+            )
+            if driver_mem == float("inf"):
+                driver_mem = min_store * 2  # conservative fallback
+        except Exception:
+            return cls(**overrides)
+        derived = {
+            "verify_broadcast_max_rows": int(
+                min(0.25 * min_store / 360, 0.30 * driver_mem / (3 * 360))
+            ),
+            "rep_broadcast_max_rows": int(0.10 * min_store / 8),
+            "cc_driver_max_edges": int(0.20 * driver_mem / 16),
+        }
+        derived.update(overrides)
+        return cls(**derived)

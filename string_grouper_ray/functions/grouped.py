@@ -81,9 +81,10 @@ def bucketed_group_map(
         # the object store (no zero-copy) and a dataset mixing pandas blocks
         # with arrow ones from sibling stages breaks repartition and slows
         # every downstream shuffle ~10× (observed on the 4M-row flagship)
-        return pa.Table.from_pandas(
-            bucket_fn(g.drop(columns=[_BUCKET])), preserve_index=False
-        )
+        out = bucket_fn(g.drop(columns=[_BUCKET]))
+        if isinstance(out, pa.Table):
+            return out
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow", batch_size=524_288)

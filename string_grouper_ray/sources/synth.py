@@ -154,6 +154,49 @@ def generate_clip_table(
     return pa.table({k: cols[k] for k in order if k in cols})
 
 
+def tone_clip_table(n: int, sr_hz: int = 16000) -> pa.Table:
+    """SQL-expressible deterministic audio fixture: clip ``i`` is an integer
+    sawtooth directly in PCM16 space,
+
+        ints[k] = ((a_i * k + b_i) % 24576) - 12288
+        a_i = 97 + 2*(i % 50),  b_i = (i * 997) % 24576
+        dur_ms_i = 200 + 40*(i % 30)   (n_samples = 16 * dur_ms at 16 kHz)
+
+    Pure integer arithmetic — a DuckDB oracle reproduces every sample
+    bit-exactly (no RNG, no trig, no float rounding ambiguity), so decode /
+    feature / resample stages get hash-checkable oracles. The WAV container
+    is written from the int16 samples directly (no float round-trip)."""
+    import io
+    import wave
+
+    ids, payloads, durs = [], [], []
+    for i in range(n):
+        dur_ms = 200 + 40 * (i % 30)
+        k = np.arange(sr_hz * dur_ms // 1000, dtype=np.int64)
+        a = 97 + 2 * (i % 50)
+        b = (i * 997) % 24576
+        ints = ((a * k + b) % 24576 - 12288).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr_hz)
+            w.writeframes(ints.tobytes())
+        ids.append(f"tone-{i:06d}")
+        payloads.append(buf.getvalue())
+        durs.append(dur_ms)
+    return pa.table(
+        {
+            "clip_id": pa.array(ids, type=pa.string()),
+            "bytes": pa.array(payloads, type=pa.binary()),
+            "sr_hz": pa.array(np.full(n, sr_hz, dtype=np.int32)),
+            "dur_ms": pa.array(np.asarray(durs, dtype=np.int32)),
+            "codec": pa.array(["pcm_s16le"] * n, type=pa.string()),
+            "transcript": pa.array([""] * n, type=pa.string()),
+        }
+    )
+
+
 def write_clip_table(
     n: int,
     out_dir: str,

@@ -70,6 +70,22 @@ def synth_video(video_id: int, n_frames: int = 48, w: int = 32, h: int = 24, fps
     return encode_rawv1(frames, fps)
 
 
+def linear_video(video_id: int, n_frames: int = 48, w: int = 32, h: int = 24, fps: int = 24) -> bytes:
+    """SQL-expressible deterministic clip: pixel value is a pure integer
+    function of (video_id, frame, y, x, channel),
+
+        p = (7*video_id + 3*frame + 5*y + 11*x + 13*c) % 256
+
+    so a DuckDB oracle reproduces frame sums / means bit-exactly (unlike
+    :func:`synth_video`, whose RNG base image has no SQL equivalent)."""
+    f = np.arange(n_frames, dtype=np.int64)[:, None, None, None]
+    y = np.arange(h, dtype=np.int64)[None, :, None, None]
+    x = np.arange(w, dtype=np.int64)[None, None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, None, :]
+    frames = ((7 * video_id + 3 * f + 5 * y + 11 * x + 13 * c) % 256).astype(np.uint8)
+    return encode_rawv1(frames, fps)
+
+
 def resize_bilinear(frame: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Bilinear resize of an (h, w, 3) uint8 frame — pure numpy, fully
     vectorized (the image-library-free path; swap in cv2/PIL at the same

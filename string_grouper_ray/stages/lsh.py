@@ -14,10 +14,13 @@ Stages (shuffle keys in parentheses — SURVEY.md §4.2):
 3. **Pair emission** (groupby salted band_key): all intra-bucket pairs as
    canonical (min_idx, max_idx) rows; within-task dedup.
 4. **Pair dedup** (groupby pair key): multi-band repeats collapse to one.
-5. **Verify**: candidate pairs are joined with the tf-idf vectors of both
-   endpoints (two bucketed shuffle_joins) and the exact cosine is computed
-   vectorized; pairs below ``min_similarity`` are dropped. This reproduces
-   the reference's exact similarity values on surviving pairs.
+5. **Verify**: exact cosine per candidate pair; pairs below
+   ``min_similarity`` are dropped. Broadcast mode packs every row's tf-idf
+   vector into one broadcast CSR and verifies in a single map stage; the
+   any-scale band-local mode explodes membersets into member rows, joins
+   texts once (linear, not pair-quadratic), and verifies each memberset
+   bucket in-task so only VERIFIED edges shuffle. Both reproduce the
+   reference's exact similarity values on surviving pairs.
 6. Mirror + per-left top-N (groupby left_idx) → the same edge IR as the
    exact strategy.
 
@@ -525,9 +528,191 @@ class _PairsFromMembersets:
         return np.ascontiguousarray(a, dtype=np.int64), np.ascontiguousarray(b, dtype=np.int64)
 
 
-def _text_side(t: pa.Table, text_col: str, idx_name: str, txt_name: str) -> pa.Table:
-    """(row_idx, text) → (idx, text) with join-unique column names."""
-    return pa.table({idx_name: t["row_idx"], txt_name: t[text_col]})
+class _ExplodeMembersets:
+    """(memberset row) → one row per member — the LINEAR-size transport of
+    the band-local verify. Member rows (Σk, k = memberset size) are what
+    joins with texts and what shuffles; candidate-pair rows (Σk²/2 for
+    cliques) never enter an exchange at all."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.packing import unpack_binary_column
+
+        lv, lo = unpack_binary_column(t["l_members"], np.int64)
+        rv, ro = unpack_binary_column(t["r_members"], np.int64)
+        ls, _ = unpack_binary_column(t["l_sides"], np.int8)
+        rs, _ = unpack_binary_column(t["r_sides"], np.int8)
+        h = t["mset_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        modes = t["mode"].to_numpy(zero_copy_only=False).astype(np.int8)
+        l_sizes = np.diff(lo)
+        r_sizes = np.diff(ro)
+        mh = np.concatenate([np.repeat(h, l_sizes), np.repeat(h, r_sizes)])
+        md = np.concatenate([np.repeat(modes, l_sizes), np.repeat(modes, r_sizes)])
+        member = np.ascontiguousarray(np.concatenate([lv, rv]), dtype=np.int64)
+        side = np.ascontiguousarray(np.concatenate([ls, rs]), dtype=np.int8)
+        half = np.concatenate(
+            [np.zeros(len(lv), dtype=np.int8), np.ones(len(rv), dtype=np.int8)]
+        )
+        # text-join key: (row_idx, side) packed into one int64 — cross joins
+        # may reuse row ids on both sides (assumes |row_idx| < 2^62, which
+        # every ingest path guarantees: footer offsets / arange / cast ids)
+        return pa.table(
+            {
+                "mset_hash": pa.array(mh),
+                "mode": pa.array(md, type=pa.int8()),
+                "member": pa.array(member),
+                "side": pa.array(side, type=pa.int8()),
+                "half": pa.array(half, type=pa.int8()),
+                "mkey": pa.array(member * 2 + side.astype(np.int64)),
+            }
+        )
+
+
+_EXPLODED_SCHEMA = pa.schema(
+    [
+        ("mset_hash", pa.int64()),
+        ("mode", pa.int8()),
+        ("member", pa.int64()),
+        ("side", pa.int8()),
+        ("half", pa.int8()),
+        ("mkey", pa.int64()),
+    ]
+)
+
+
+def _make_bandlocal_verify(vocab_ref, config: EngineConfig, cross: bool):
+    """Bucket UDF for the join-mode verify: each bucket holds whole
+    membersets (all member rows of every mset hashed into it, texts
+    attached). Pairs are emitted IN-TASK with the exact `_PairsFromMembersets`
+    semantics (clique / star+small-clique / mode-1 chunk-pair), each bucket's
+    texts are tf-idf-encoded ONCE, and only pairs at/above ``min_similarity``
+    leave the task — verified edges are what shuffles afterwards, not
+    candidate pairs with text payloads (the two pair×text sorts this
+    replaces dominated the distributed regime's wall time)."""
+    star = config.lsh_pair_emission == "star" and not cross
+    threshold = config.min_similarity
+
+    empty = pa.table(
+        {
+            "left_idx": pa.array([], type=pa.int64()),
+            "right_idx": pa.array([], type=pa.int64()),
+            "similarity": pa.array([], type=pa.float64()),
+        }
+    )
+
+    def verify_bucket(df: pd.DataFrame) -> pa.Table:
+        from ..functions.packing import gather_ranges
+        from ..sparse import pair_dots
+
+        n = len(df)
+        if n == 0:
+            return empty
+        # groups contiguous; mode-0 members ascending (memberset packing
+        # order), so star anchors (first=min, last=max) match exactly
+        df = df.sort_values(["mset_hash", "half", "member"], kind="stable")
+        h = df["mset_hash"].to_numpy(dtype=np.int64)
+        member = df["member"].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy().astype(np.int8)
+        half = df["half"].to_numpy().astype(np.int8)
+        mode = df["mode"].to_numpy().astype(np.int8)
+
+        new = np.ones(n, dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        g_starts = np.flatnonzero(new).astype(np.int64)
+        g_sizes = np.diff(np.append(g_starts, n)).astype(np.int64)
+        g_mode = mode[g_starts]
+
+        pis: List[np.ndarray] = []
+        pjs: List[np.ndarray] = []
+
+        def emit0(starts: np.ndarray, sizes: np.ndarray, use_star: bool) -> None:
+            sel = sizes >= 2
+            starts, sizes = starts[sel], sizes[sel]
+            if not len(starts):
+                return
+            pos = gather_ranges(starts, sizes)
+            loc = np.zeros(len(sizes), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=loc[1:])
+            if use_star:
+                csum = np.cumsum(sizes - 1) - (sizes - 1)
+                within = np.arange(
+                    int((sizes - 1).sum()), dtype=np.int64
+                ) - np.repeat(csum, sizes - 1)
+                ri = np.repeat(loc, sizes - 1) + 1 + within
+                li = np.repeat(loc, sizes - 1)
+                li2 = np.repeat(loc + sizes - 1, sizes - 1)
+                ri2 = np.repeat(loc, sizes - 1) + within
+                li = np.concatenate([li, li2])
+                ri = np.concatenate([ri, ri2])
+            else:
+                li, ri = _segment_pairs(loc, sizes)
+            pis.append(pos[li])
+            pjs.append(pos[ri])
+
+        m0 = g_mode == 0
+        if m0.any():
+            if star:
+                small = g_sizes <= 16
+                emit0(g_starts[m0 & small], g_sizes[m0 & small], False)
+                emit0(g_starts[m0 & ~small], g_sizes[m0 & ~small], True)
+            else:
+                emit0(g_starts[m0], g_sizes[m0], False)
+        for gi in np.flatnonzero(~m0):
+            lo_ = int(g_starts[gi])
+            hi_ = lo_ + int(g_sizes[gi])
+            pos = np.arange(lo_, hi_, dtype=np.int64)
+            if star:
+                vals = member[lo_:hi_]
+                for anchor in {int(np.argmin(vals)), int(np.argmax(vals))}:
+                    sel = np.arange(len(pos)) != anchor
+                    pis.append(np.full(int(sel.sum()), pos[anchor], dtype=np.int64))
+                    pjs.append(pos[sel])
+            else:
+                lh = half[lo_:hi_] == 0
+                pl, pr = pos[lh], pos[~lh]
+                gi_, gj_ = np.meshgrid(
+                    np.arange(len(pl)), np.arange(len(pr)), indexing="ij"
+                )
+                pis.append(pl[gi_.reshape(-1)])
+                pjs.append(pr[gj_.reshape(-1)])
+        if not pis:
+            return empty
+        pi = np.concatenate(pis)
+        pj = np.concatenate(pjs)
+        a, b = member[pi], member[pj]
+        sa, sb = side[pi], side[pj]
+        if cross:
+            keep = sa != sb
+            a2 = np.where(sa == 0, a, b)
+            b2 = np.where(sa == 0, b, a)
+            a, b, pi, pj = a2[keep], b2[keep], pi[keep], pj[keep]
+        else:
+            keep = a != b
+            lo2 = np.minimum(a, b)[keep]
+            hi2 = np.maximum(a, b)[keep]
+            a, b, pi, pj = lo2, hi2, pi[keep], pj[keep]
+        if not len(a):
+            return empty
+        # within-bucket pair dedup BEFORE the dots: a pair re-found by
+        # several of this bucket's membersets is verified once
+        order = np.lexsort((b, a))
+        a, b, pi, pj = a[order], b[order], pi[order], pj[order]
+        uniq = np.ones(len(a), dtype=bool)
+        uniq[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b, pi, pj = a[uniq], b[uniq], pi[uniq], pj[uniq]
+
+        encoder = TfidfEncoder(vocab_ref, config)  # zero-copy plasma read
+        csr = encoder.encode_batch(df["m_txt"].tolist())
+        sims = pair_dots(csr, csr, pi, pj)
+        keep2 = sims >= max(threshold, 1e-300)
+        return pa.table(
+            {
+                "left_idx": pa.array(a[keep2]),
+                "right_idx": pa.array(b[keep2]),
+                "similarity": pa.array(sims[keep2]),
+            }
+        )
+
+    return verify_bucket
 
 
 def collect_row_csr(
@@ -666,41 +851,6 @@ class _VerifyCosineBroadcast:
                 "left_idx": pa.array(l_rows[keep]),
                 "right_idx": pa.array(r_rows[keep]),
                 "similarity": pa.array(sims[keep]),
-            }
-        )
-
-
-class _VerifyCosineFromText:
-    """Exact cosine over candidate pairs carrying both TEXTS (join mode).
-
-    The join path used to carry each endpoint's packed tf-idf vector to its
-    pairs; a short string's vector is ~10× its own bytes (every char becomes
-    a ~12 B trigram posting), so the two sorts moved pairs × ~800 B. Texts
-    are the compact transport: the sorts move pairs × ~len(text) and the
-    verify stage re-encodes both sides per batch from the broadcast
-    vocabulary — vectorized linear CPU work, bit-identical vectors (same
-    ``encode_tfidf``), far cheaper than the shuffle bytes it saves. (For
-    long-document corpora where text outgrows its distinct-gram vector,
-    ``minhash_dedup``'s shingle pipeline is the intended route, not this.)
-    """
-
-    def __init__(self, vocab_ref, config: EngineConfig):
-        self.encoder = TfidfEncoder(vocab_ref, config)
-        self.threshold = config.min_similarity
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sparse import pair_dots
-
-        l_csr = self.encoder.encode_batch(batch["l_txt"].to_pylist())
-        r_csr = self.encoder.encode_batch(batch["r_txt"].to_pylist())
-        arange = np.arange(len(batch), dtype=np.int64)
-        sims = pair_dots(l_csr, r_csr, arange, arange)
-        keep = sims >= max(self.threshold, 1e-300)
-        return pa.table(
-            {
-                "left_idx": batch["left_idx"].cast(pa.int64()).filter(pa.array(keep)),
-                "right_idx": batch["right_idx"].cast(pa.int64()).filter(pa.array(keep)),
-                "similarity": pa.array(sims[keep].astype(np.float64)),
             }
         )
 
@@ -864,30 +1014,69 @@ def lsh_match_edges(
             ).materialize()
 
     _tmark("exact_dup_collapse+rep_filter")
-    # 1. band rows — materialized: the census and the salted chain both
-    # consume it, and an A/B at 1M showed the lazy re-execution costs ~49 s
-    # in the census alone vs ~3 s census + one plasma round-trip when
-    # materialized (banding is the widest map; running it twice loses).
-    banded = _band_rows(left, config, text_col, side=0)
-    if cross:
-        banded = banded.union(_band_rows(right, config, text_col, side=1))
-    banded = banded.materialize()
-    _tmark("band_rows")
-
-    # 2. hot-bucket census → broadcast salt map {band_key: n_chunks}
     from ..functions.grouped import groupby_agg
 
-    counts = groupby_agg(banded, "band_key", None, "count", num_buckets=64)
-    hot_rows = counts.map_batches(
-        lambda t: t.filter(
-            __import_pc__().greater(t["count()"], config.max_bucket_size)
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    hot = {
-        int(r["band_key"]): int(-(-r["count()"] // config.max_bucket_size))
-        for r in hot_rows
-    }
+    n_left = left.count()
+    n_right = right.count() if cross else 0
+    rate = config.census_sample_rate
+    if rate is None:
+        rate = 1.0 if (n_left + n_right) <= 500_000 else 0.125
+
+    def _census(src, scale: int, threshold: float) -> dict:
+        """band_key → n_chunks for buckets whose (scaled) count clears the
+        threshold."""
+        counts = groupby_agg(src, "band_key", None, "count", num_buckets=64)
+        hot_rows = counts.map_batches(
+            lambda t: t.filter(
+                __import_pc__().greater(t["count()"], threshold / scale)
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        return {
+            int(r["band_key"]): int(
+                -(-(r["count()"] * scale) // config.max_bucket_size)
+            )
+            for r in hot_rows
+        }
+
+    if rate >= 1.0:
+        # exact census: band rows once, materialized — the census and the
+        # salted chain both consume it, and an A/B at 1M showed the lazy
+        # re-execution costs ~49 s in the census alone vs ~3 s census + one
+        # plasma round-trip when materialized (banding is the widest map).
+        banded = _band_rows(left, config, text_col, side=0)
+        if cross:
+            banded = banded.union(_band_rows(right, config, text_col, side=1))
+        banded = banded.materialize()
+        _tmark("band_rows")
+        hot = _census(banded, 1, float(config.max_bucket_size))
+    else:
+        # SAMPLED census: band only a 1/inv hash-sample of the rows for the
+        # hot-bucket estimate (small, finishes fast), then let the FULL
+        # banding STREAM straight into the salted shuffle — no materialize
+        # barrier, no full-volume census exchange. Salting never changes the
+        # pair set, so estimation error costs balance, not correctness; the
+        # 0.75× threshold biases toward salting borderline-hot buckets.
+        inv = max(2, int(round(1.0 / rate)))
+
+        def _sample(src):
+            def fn(t: pa.Table) -> pa.Table:
+                rows = t["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+                keep = (_sm64(rows.view(np.uint64)) % np.uint64(inv)) == 0
+                return t.filter(pa.array(keep))
+
+            return src.select_columns(["row_idx", text_col]).map_batches(
+                fn, batch_format="pyarrow"
+            )
+
+        sampled = _band_rows(_sample(left), config, text_col, side=0)
+        if cross:
+            sampled = sampled.union(_band_rows(_sample(right), config, text_col, side=1))
+        hot = _census(sampled, inv, 0.75 * config.max_bucket_size)
+        banded = _band_rows(left, config, text_col, side=0)
+        if cross:
+            banded = banded.union(_band_rows(right, config, text_col, side=1))
+        _tmark("band_rows(sampled census)")
     hot_ref = ray.put(hot)
     _tmark("hot_census")
 
@@ -913,48 +1102,51 @@ def lsh_match_edges(
 
     msets = bucketed_group_map(salted, ["band_key", "salt"], _memberset_bucket)
     msets = dedup_pairs(msets, ["mset_hash"])
-    pairs = msets.map_batches(
-        _PairsFromMembersets(cross, config.lsh_pair_emission),
-        batch_format="pyarrow",
-        batch_size=8192,
-    )
-    pairs = dedup_pairs(pairs, ["left_idx", "right_idx"]).materialize()
-    # Release the banded/salted/memberset lineage NOW: pairs owns its own
-    # blocks after materialize, but the lazy datasets above keep the banded
-    # blocks (rows × bands — the pipeline's widest intermediate) pinned in
-    # the object store. Ray Data's streaming executor budgets store memory
-    # per operator and throttles task launches when the store is near its
-    # reservation — with these pinned, the join-mode verify's sort ran with
-    # ~95% idle CPUs (measured 244 s for a 2M-row verify that runs in ~60 s
-    # once freed).
-    del banded, salted, msets, counts, hot_rows
-    import gc
-
-    gc.collect()
-    _tmark("membersets+pairs")
-    if _tmark.enabled:
-        print(f"    [match] candidate pairs: {pairs.count()}", flush=True)
 
     # 5. verify: exact cosine on candidate pairs.
-    #    broadcast mode (vectors fit the object store): pack all vectors into
-    #    one broadcast dict, verify in a single map stage — no join shuffles.
-    #    join mode (any scale): two bucketed shuffle_joins carry each
-    #    endpoint's vector to its pairs.
+    #    broadcast mode (vectors fit the object store): emit + dedup pairs,
+    #    pack all vectors into one broadcast CSR, verify in a single map
+    #    stage — no join shuffles.
+    #    band-local mode (any scale): membersets explode into MEMBER rows
+    #    (linear in bucket occupancy), ONE shuffle_join attaches texts, a
+    #    bucketed regroup by memberset verifies each bucket's pairs in-task
+    #    — candidate pairs never enter an exchange; only verified edges do.
     n_left = left.count()
     n_right = right.count() if cross else 0
     use_broadcast = (n_left + n_right) <= config.verify_broadcast_max_rows
-
-    def _vec_ds(src):
-        return stage_map_batches(
-            src.select_columns(["row_idx", text_col]),
-            TfidfEncoder,
-            (vocab_ref, config, text_col),
-            config,
-            batch_format="pyarrow",
-            batch_size=config.batch_size,
-        )
+    import gc
 
     if use_broadcast:
+        pairs = msets.map_batches(
+            _PairsFromMembersets(cross, config.lsh_pair_emission),
+            batch_format="pyarrow",
+            batch_size=8192,
+        )
+        pairs = dedup_pairs(pairs, ["left_idx", "right_idx"]).materialize()
+        # Release the banded/salted/memberset lineage NOW: pairs owns its own
+        # blocks after materialize, but the lazy datasets above keep the
+        # banded blocks (rows × bands — the pipeline's widest intermediate)
+        # pinned in the object store. Ray Data's streaming executor budgets
+        # store memory per operator and throttles task launches when the
+        # store is near its reservation — with these pinned, a downstream
+        # sort ran with ~95% idle CPUs (measured 244 s for a 2M-row verify
+        # that runs in ~60 s once freed).
+        del banded, salted, msets
+        gc.collect()
+        _tmark("membersets+pairs")
+        if _tmark.enabled:
+            print(f"    [match] candidate pairs: {pairs.count()}", flush=True)
+
+        def _vec_ds(src):
+            return stage_map_batches(
+                src.select_columns(["row_idx", text_col]),
+                TfidfEncoder,
+                (vocab_ref, config, text_col),
+                config,
+                batch_format="pyarrow",
+                batch_size=config.batch_size,
+            )
+
         vocab_size = ray.get(vocab_ref).size
         l_state = collect_row_csr(_vec_ds(left), vocab_size)
         r_state = collect_row_csr(_vec_ds(right), vocab_size) if cross else None
@@ -968,41 +1160,57 @@ def lsh_match_edges(
             batch_size=65536,
         )
     else:
-        ltxt = left.select_columns(["row_idx", text_col]).map_batches(
-            lambda t: _text_side(t, text_col, "v_idx", "l_txt"), batch_format="pyarrow"
-        )
-        rsrc = right if cross else left
-        rtxt = rsrc.select_columns(["row_idx", text_col]).map_batches(
-            lambda t: _text_side(t, text_col, "w_idx", "r_txt"), batch_format="pyarrow"
-        )
-        pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
-        ltxt_schema = pa.schema([("v_idx", pa.int64()), ("l_txt", pa.string())])
-        rtxt_schema = pa.schema([("w_idx", pa.int64()), ("r_txt", pa.string())])
-        withl_schema = pa.schema(
-            list(pair_schema) + [pa.field("v_idx", pa.int64()), pa.field("l_txt", pa.string())]
-        )
-        # partition count sized to the pair volume (≥250k rows per reduce
+        members = msets.map_batches(
+            _ExplodeMembersets(), batch_format="pyarrow", batch_size=8192
+        ).materialize()
+        # Release the banded/salted/memberset lineage (see the broadcast
+        # branch note): members owns its blocks after materialize.
+        del banded, salted, msets
+        gc.collect()
+        _tmark("membersets+explode")
+        n_members = members.count()
+        if _tmark.enabled:
+            print(f"    [match] memberset member rows: {n_members}", flush=True)
+        # partition count sized to the member volume (≥250k rows per reduce
         # task, floored at one wave per CPU): the sort's intermediate object
         # count is map_blocks × partitions, and on syscall-expensive hosts
         # tiny-object churn — not bytes — dominates the exchange cost
         from ..functions.grouped import default_buckets
 
-        n_pairs = pairs.count()
-        jb = int(min(default_buckets(), max(32, -(-n_pairs // 250_000))))
-        withl = shuffle_join(pairs, ltxt, on="left_idx", right_on="v_idx", how="inner",
-                             left_schema=pair_schema, right_schema=ltxt_schema,
-                             num_buckets=jb)
-        withlr = shuffle_join(withl, rtxt, on="right_idx", right_on="w_idx", how="inner",
-                              left_schema=withl_schema, right_schema=rtxt_schema,
-                              num_buckets=jb)
-        verified = stage_map_batches(
-            withlr,
-            _VerifyCosineFromText,
-            (vocab_ref, config),
-            config,
-            batch_format="pyarrow",
-            batch_size=65536,
+        jb = int(min(default_buckets(), max(32, -(-n_members // 250_000))))
+        pc_ = __import_pc__()
+
+        def _txt_keyed(src, side_tag: int):
+            def fn(t: pa.Table) -> pa.Table:
+                key = pc_.add(
+                    pc_.multiply(t["row_idx"].cast(pa.int64()), pa.scalar(2, pa.int64())),
+                    pa.scalar(side_tag, pa.int64()),
+                )
+                return pa.table({"mkey": key, "m_txt": t[text_col]})
+
+            return src.select_columns(["row_idx", text_col]).map_batches(
+                fn, batch_format="pyarrow"
+            )
+
+        txts = _txt_keyed(left, 0)
+        if cross:
+            txts = txts.union(_txt_keyed(right, 1))
+        txt_schema = pa.schema([("mkey", pa.int64()), ("m_txt", pa.string())])
+        joined = shuffle_join(
+            members, txts, on="mkey", how="inner",
+            left_schema=_EXPLODED_SCHEMA, right_schema=txt_schema,
+            num_buckets=jb, bundle_rows=32_768,  # rows carry text payloads
+        ).map_batches(
+            lambda t: t.drop_columns(["mkey"]), batch_format="pyarrow"
         )
+        verified = bucketed_group_map(
+            joined, ["mset_hash"],
+            _make_bandlocal_verify(vocab_ref, config, cross),
+            num_buckets=jb,
+        )
+        # cross-bucket pair dedup: similarities are bit-identical wherever a
+        # pair was verified (same texts, same encoder), so keep-first is safe
+        verified = dedup_pairs(verified, ["left_idx", "right_idx"], num_buckets=jb)
 
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N
     if not cross:

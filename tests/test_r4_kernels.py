@@ -196,6 +196,28 @@ def test_shingle_jaccard_verify_matches_naive():
         np.testing.assert_allclose(out["similarity"].to_numpy(), naive[keep], atol=0, rtol=0)
 
 
+def test_engine_config_for_cluster_derivation():
+    """for_cluster derives broadcast/driver cutoffs from live cluster
+    resources (smallest node's object store / driver memory) and explicit
+    overrides always win."""
+    import ray
+
+    from string_grouper_ray.config import EngineConfig
+
+    c = EngineConfig.for_cluster()
+    assert ray.is_initialized()
+    min_store = min(
+        int(n["Resources"].get("object_store_memory", 0))
+        for n in ray.nodes()
+        if n.get("Alive")
+    )
+    assert 0 < c.verify_broadcast_max_rows <= 0.25 * min_store / 360
+    assert 0 < c.rep_broadcast_max_rows == int(0.10 * min_store / 8)
+    assert c.cc_driver_max_edges > 0
+    c2 = EngineConfig.for_cluster(verify_broadcast_max_rows=7, strategy="lsh")
+    assert c2.verify_broadcast_max_rows == 7 and c2.strategy == "lsh"
+
+
 def test_knn_brute_force_query_guard():
     import ray.data
 

@@ -86,6 +86,81 @@ def test_nearest_join_unmatched_keep_self_across_fragmented_blocks():
     assert matched["most_similar_idx"].isin([0, 1]).all()
 
 
+def test_minhash_prod_recall_precision_vs_exact():
+    """Quantitative gate for the PRODUCTION MinHash config (32 bands × 4
+    rows) on a fixture that deliberately contains GRAY-ZONE pairs (true
+    Jaccard just above the 0.7 threshold, where the banding S-curve is
+    weakest): same-cluster pair recall ≥ 0.99 against the exact-Jaccard
+    cluster closure, and precision EXACTLY 1 (structural — every emitted
+    edge passes the true-Jaccard verify, so prod clusters refine the exact
+    closure). This is the borderline-behavior evidence behind giving
+    dedup_minhash_docs_prod the exact-closure oracle in __ray_entry__.py."""
+    import itertools
+
+    from string_grouper_ray.pipelines.dedup import minhash_dedup
+    from string_grouper_ray.text import NGramTokenizer
+
+    rng = np.random.RandomState(7)
+    words = [f"tok{w:03d}" for w in range(400)]
+    texts = []
+    n_clusters = 50
+    for c in range(n_clusters):
+        base = [words[i] for i in rng.choice(400, size=24, replace=False)]
+        texts.append(" ".join(base))
+        for _ in range(rng.randint(1, 4)):
+            # replace 1-4 of 24 tokens: char-3gram Jaccard lands ~0.70-0.95,
+            # i.e. squarely in and above the gray zone
+            variant = list(base)
+            for j in rng.choice(24, size=rng.randint(1, 5), replace=False):
+                variant[j] = words[rng.randint(0, 400)]
+            texts.append(" ".join(variant))
+    texts += [" ".join(words[i] for i in rng.choice(400, size=10, replace=False))
+              for _ in range(40)]
+
+    # exact ground truth: true Jaccard of distinct normalized 3-gram sets
+    tok = NGramTokenizer(CFG)
+    shingles = [set(s.tolist()) for s in tok.shingle_hashes_batch(texts)]
+    exact_edges = []
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        inter = len(shingles[i] & shingles[j])
+        union = len(shingles[i] | shingles[j])
+        if union and inter / union >= 0.7:
+            exact_edges.append((i, j))
+    assert len(exact_edges) >= 40, "fixture must actually have near-dup pairs"
+
+    # exact closure → same-cluster pair set
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in exact_edges:
+        parent[find(i)] = find(j)
+    from collections import defaultdict
+
+    exact_groups = defaultdict(list)
+    for i in range(len(texts)):
+        exact_groups[find(i)].append(i)
+    p_exact = {
+        p for members in exact_groups.values() for p in itertools.combinations(sorted(members), 2)
+    }
+
+    out = minhash_dedup(_docs(texts), jaccard_threshold=0.7, config=CFG).to_pandas()
+    prod_groups = defaultdict(list)
+    for d, c in zip(out["doc_id"], out["cluster_id"]):
+        prod_groups[c].append(int(d))
+    p_prod = {
+        p for members in prod_groups.values() for p in itertools.combinations(sorted(members), 2)
+    }
+
+    assert p_prod <= p_exact, "precision must be structural (verify gate)"
+    recall = len(p_prod & p_exact) / len(p_exact)
+    assert recall >= 0.99, f"prod-config pair recall {recall:.4f} < 0.99 ({len(p_exact)} pairs)"
+
+
 def test_minhash_dedup_band_match_prefilter_equivalent():
     """The exact-recall gate config (lsh_bands=num_perm) with the
     band-match prefilter must produce the same clusters as without it —
