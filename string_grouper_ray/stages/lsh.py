@@ -528,11 +528,39 @@ class _PairsFromMembersets:
         return np.ascontiguousarray(a, dtype=np.int64), np.ascontiguousarray(b, dtype=np.int64)
 
 
-class _ExplodeMembersets:
-    """(memberset row) → one row per member — the LINEAR-size transport of
-    the band-local verify. Member rows (Σk, k = memberset size) are what
-    joins with texts and what shuffles; candidate-pair rows (Σk²/2 for
-    cliques) never enter an exchange at all."""
+class _MsetPkey:
+    """Append ``pkey`` = the memberset's MINIMUM member id (its cluster
+    anchor) to memberset rows. A near-dup cluster's cross-band membersets
+    almost always share their min member, so partitioning the verify by
+    pkey co-locates them in ONE bucket — each member's text then ships once
+    per (cluster, bucket), not once per memberset occurrence (observed 26M
+    member occurrences for 2M input rows; distinct (pkey, member) refs are
+    ~the rep count)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.packing import unpack_binary_column
+
+        lv, lo = unpack_binary_column(t["l_members"], np.int64)
+        rv, ro = unpack_binary_column(t["r_members"], np.int64)
+        n = len(t)
+        big = np.iinfo(np.int64).max
+        l_sizes = np.diff(lo)
+        r_sizes = np.diff(ro)
+        # members are packed sorted ascending → first element is the min
+        l_first = np.full(n, big, dtype=np.int64)
+        nz = l_sizes > 0
+        l_first[nz] = lv[lo[:-1][nz]]
+        r_first = np.full(n, big, dtype=np.int64)
+        nz = r_sizes > 0
+        r_first[nz] = rv[ro[:-1][nz]]
+        return t.append_column("pkey", pa.array(np.minimum(l_first, r_first)))
+
+
+class _ExplodeRefs:
+    """(memberset row with pkey) → distinct (pkey, mkey) member references,
+    deduped within the batch. mkey packs (row_idx, side) into one int64
+    (cross joins may reuse row ids on both sides; assumes |row_idx| < 2^62,
+    which every ingest path guarantees: footer offsets / arange / cast ids)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         from ..functions.packing import unpack_binary_column
@@ -541,53 +569,47 @@ class _ExplodeMembersets:
         rv, ro = unpack_binary_column(t["r_members"], np.int64)
         ls, _ = unpack_binary_column(t["l_sides"], np.int8)
         rs, _ = unpack_binary_column(t["r_sides"], np.int8)
-        h = t["mset_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-        modes = t["mode"].to_numpy(zero_copy_only=False).astype(np.int8)
+        pk = t["pkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         l_sizes = np.diff(lo)
         r_sizes = np.diff(ro)
-        mh = np.concatenate([np.repeat(h, l_sizes), np.repeat(h, r_sizes)])
-        md = np.concatenate([np.repeat(modes, l_sizes), np.repeat(modes, r_sizes)])
-        member = np.ascontiguousarray(np.concatenate([lv, rv]), dtype=np.int64)
-        side = np.ascontiguousarray(np.concatenate([ls, rs]), dtype=np.int8)
-        half = np.concatenate(
-            [np.zeros(len(lv), dtype=np.int8), np.ones(len(rv), dtype=np.int8)]
-        )
-        # text-join key: (row_idx, side) packed into one int64 — cross joins
-        # may reuse row ids on both sides (assumes |row_idx| < 2^62, which
-        # every ingest path guarantees: footer offsets / arange / cast ids)
-        return pa.table(
-            {
-                "mset_hash": pa.array(mh),
-                "mode": pa.array(md, type=pa.int8()),
-                "member": pa.array(member),
-                "side": pa.array(side, type=pa.int8()),
-                "half": pa.array(half, type=pa.int8()),
-                "mkey": pa.array(member * 2 + side.astype(np.int64)),
-            }
-        )
+        pkey = np.concatenate([np.repeat(pk, l_sizes), np.repeat(pk, r_sizes)])
+        member = np.concatenate([lv, rv]).astype(np.int64, copy=False)
+        side = np.concatenate([ls, rs]).astype(np.int64, copy=False)
+        mkey = member * 2 + side
+        order = np.lexsort((mkey, pkey))
+        pkey, mkey = pkey[order], mkey[order]
+        keep = np.ones(len(pkey), dtype=bool)
+        keep[1:] = (pkey[1:] != pkey[:-1]) | (mkey[1:] != mkey[:-1])
+        return pa.table({"pkey": pa.array(pkey[keep]), "mkey": pa.array(mkey[keep])})
 
 
-_EXPLODED_SCHEMA = pa.schema(
+# unified row shape for the verify exchange: memberset rows (kind 0) and
+# member-text rows (kind 1) union into one dataset, co-bucketed on pkey
+_VERIFY_UNION_SCHEMA = pa.schema(
     [
+        ("pkey", pa.int64()),
+        ("kind", pa.int8()),
         ("mset_hash", pa.int64()),
+        ("l_members", pa.binary()),
+        ("r_members", pa.binary()),
+        ("l_sides", pa.binary()),
+        ("r_sides", pa.binary()),
         ("mode", pa.int8()),
-        ("member", pa.int64()),
-        ("side", pa.int8()),
-        ("half", pa.int8()),
         ("mkey", pa.int64()),
+        ("m_txt", pa.string()),
     ]
 )
 
 
-def _make_bandlocal_verify(vocab_ref, config: EngineConfig, cross: bool):
-    """Bucket UDF for the join-mode verify: each bucket holds whole
-    membersets (all member rows of every mset hashed into it, texts
-    attached). Pairs are emitted IN-TASK with the exact `_PairsFromMembersets`
-    semantics (clique / star+small-clique / mode-1 chunk-pair), each bucket's
-    texts are tf-idf-encoded ONCE, and only pairs at/above ``min_similarity``
-    leave the task — verified edges are what shuffles afterwards, not
-    candidate pairs with text payloads (the two pair×text sorts this
-    replaces dominated the distributed regime's wall time)."""
+def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
+    """Bucket UDF for the any-scale verify: each bucket holds whole
+    membersets (kind-0 rows, packed) plus the texts of every member they
+    mention (kind-1 rows, one per distinct (pkey, member)). Pairs are
+    emitted IN-TASK with the exact `_PairsFromMembersets` semantics
+    (clique / star+small-clique / mode-1 chunk-pair), the bucket's texts
+    are tf-idf-encoded ONCE, and only pairs at/above ``min_similarity``
+    leave the task — candidate pairs never enter an exchange; verified
+    edges (few) are what shuffles afterwards."""
     star = config.lsh_pair_emission == "star" and not cross
     threshold = config.min_similarity
 
@@ -600,108 +622,98 @@ def _make_bandlocal_verify(vocab_ref, config: EngineConfig, cross: bool):
     )
 
     def verify_bucket(df: pd.DataFrame) -> pa.Table:
-        from ..functions.packing import gather_ranges
         from ..sparse import pair_dots
 
-        n = len(df)
-        if n == 0:
+        kind = df["kind"].to_numpy()
+        tr = df[kind == 1]
+        ms = df[kind == 0]
+        if not len(ms) or not len(tr):
             return empty
-        # groups contiguous; mode-0 members ascending (memberset packing
-        # order), so star anchors (first=min, last=max) match exactly
-        df = df.sort_values(["mset_hash", "half", "member"], kind="stable")
-        h = df["mset_hash"].to_numpy(dtype=np.int64)
-        member = df["member"].to_numpy(dtype=np.int64)
-        side = df["side"].to_numpy().astype(np.int8)
-        half = df["half"].to_numpy().astype(np.int8)
-        mode = df["mode"].to_numpy().astype(np.int8)
+        mk = tr["mkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(mk, kind="stable")
+        mk_sorted = mk[order]
+        txt_list = tr["m_txt"].to_numpy()[order].tolist()
 
-        new = np.ones(n, dtype=bool)
-        new[1:] = h[1:] != h[:-1]
-        g_starts = np.flatnonzero(new).astype(np.int64)
-        g_sizes = np.diff(np.append(g_starts, n)).astype(np.int64)
-        g_mode = mode[g_starts]
+        # emit pair (member-value, side, CSR position) triples per memberset
+        l_members = ms["l_members"].to_numpy()
+        r_members = ms["r_members"].to_numpy()
+        l_sides_col = ms["l_sides"].to_numpy()
+        r_sides_col = ms["r_sides"].to_numpy()
+        modes = ms["mode"].to_numpy()
 
-        pis: List[np.ndarray] = []
-        pjs: List[np.ndarray] = []
-
-        def emit0(starts: np.ndarray, sizes: np.ndarray, use_star: bool) -> None:
-            sel = sizes >= 2
-            starts, sizes = starts[sel], sizes[sel]
-            if not len(starts):
-                return
-            pos = gather_ranges(starts, sizes)
-            loc = np.zeros(len(sizes), dtype=np.int64)
-            np.cumsum(sizes[:-1], out=loc[1:])
-            if use_star:
-                csum = np.cumsum(sizes - 1) - (sizes - 1)
-                within = np.arange(
-                    int((sizes - 1).sum()), dtype=np.int64
-                ) - np.repeat(csum, sizes - 1)
-                ri = np.repeat(loc, sizes - 1) + 1 + within
-                li = np.repeat(loc, sizes - 1)
-                li2 = np.repeat(loc + sizes - 1, sizes - 1)
-                ri2 = np.repeat(loc, sizes - 1) + within
-                li = np.concatenate([li, li2])
-                ri = np.concatenate([ri, ri2])
+        mems: List[np.ndarray] = []
+        sids: List[np.ndarray] = []
+        for i in range(len(ms)):
+            lhs = np.frombuffer(l_members[i], dtype=np.int64)
+            rhs = np.frombuffer(r_members[i], dtype=np.int64)
+            lss = np.frombuffer(l_sides_col[i], dtype=np.int8)
+            rss = np.frombuffer(r_sides_col[i], dtype=np.int8)
+            if modes[i] == 0:
+                if star and len(lhs) > 16:
+                    k = len(lhs)
+                    li = np.concatenate(
+                        [np.zeros(k - 1, np.int64), np.full(k - 1, k - 1, np.int64)]
+                    )
+                    ri = np.concatenate(
+                        [np.arange(1, k, dtype=np.int64), np.arange(0, k - 1, dtype=np.int64)]
+                    )
+                else:
+                    off = np.zeros(1, dtype=np.int64)
+                    li, ri = _segment_pairs(off, np.array([len(lhs)], dtype=np.int64))
+                mems.append(lhs[li]); sids.append(lss[li])
+                mems.append(lhs[ri]); sids.append(lss[ri])
             else:
-                li, ri = _segment_pairs(loc, sizes)
-            pis.append(pos[li])
-            pjs.append(pos[ri])
-
-        m0 = g_mode == 0
-        if m0.any():
-            if star:
-                small = g_sizes <= 16
-                emit0(g_starts[m0 & small], g_sizes[m0 & small], False)
-                emit0(g_starts[m0 & ~small], g_sizes[m0 & ~small], True)
-            else:
-                emit0(g_starts[m0], g_sizes[m0], False)
-        for gi in np.flatnonzero(~m0):
-            lo_ = int(g_starts[gi])
-            hi_ = lo_ + int(g_sizes[gi])
-            pos = np.arange(lo_, hi_, dtype=np.int64)
-            if star:
-                vals = member[lo_:hi_]
-                for anchor in {int(np.argmin(vals)), int(np.argmax(vals))}:
-                    sel = np.arange(len(pos)) != anchor
-                    pis.append(np.full(int(sel.sum()), pos[anchor], dtype=np.int64))
-                    pjs.append(pos[sel])
-            else:
-                lh = half[lo_:hi_] == 0
-                pl, pr = pos[lh], pos[~lh]
-                gi_, gj_ = np.meshgrid(
-                    np.arange(len(pl)), np.arange(len(pr)), indexing="ij"
-                )
-                pis.append(pl[gi_.reshape(-1)])
-                pjs.append(pr[gj_.reshape(-1)])
-        if not pis:
+                allm = np.concatenate([lhs, rhs])
+                alls = np.concatenate([lss, rss])
+                if star:
+                    li_parts, ri_parts = [], []
+                    for anchor in {int(np.argmin(allm)), int(np.argmax(allm))}:
+                        sel = np.arange(len(allm)) != anchor
+                        li_parts.append(np.full(int(sel.sum()), anchor, dtype=np.int64))
+                        ri_parts.append(np.flatnonzero(sel).astype(np.int64))
+                    li = np.concatenate(li_parts)
+                    ri = np.concatenate(ri_parts)
+                else:
+                    gi, gj = np.meshgrid(
+                        np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
+                    )
+                    li = gi.reshape(-1)
+                    ri = len(lhs) + gj.reshape(-1)
+                mems.append(allm[li]); sids.append(alls[li])
+                mems.append(allm[ri]); sids.append(alls[ri])
+        if not mems:
             return empty
-        pi = np.concatenate(pis)
-        pj = np.concatenate(pjs)
-        a, b = member[pi], member[pj]
-        sa, sb = side[pi], side[pj]
+        # interleaved [a-parts, b-parts] → stack into flat a/b arrays
+        a = np.concatenate(mems[0::2]) if mems[0::2] else np.empty(0, np.int64)
+        b = np.concatenate(mems[1::2]) if mems[1::2] else np.empty(0, np.int64)
+        sa = np.concatenate(sids[0::2]) if sids[0::2] else np.empty(0, np.int8)
+        sb = np.concatenate(sids[1::2]) if sids[1::2] else np.empty(0, np.int8)
         if cross:
             keep = sa != sb
             a2 = np.where(sa == 0, a, b)
             b2 = np.where(sa == 0, b, a)
-            a, b, pi, pj = a2[keep], b2[keep], pi[keep], pj[keep]
+            a, b = a2[keep], b2[keep]
+            ka, kb = a * 2, b * 2 + 1  # oriented: left side 0, right side 1
         else:
             keep = a != b
             lo2 = np.minimum(a, b)[keep]
             hi2 = np.maximum(a, b)[keep]
-            a, b, pi, pj = lo2, hi2, pi[keep], pj[keep]
+            a, b = lo2, hi2
+            ka, kb = a * 2, b * 2  # self-join: side always 0
         if not len(a):
             return empty
-        # within-bucket pair dedup BEFORE the dots: a pair re-found by
-        # several of this bucket's membersets is verified once
-        order = np.lexsort((b, a))
-        a, b, pi, pj = a[order], b[order], pi[order], pj[order]
+        # within-bucket pair dedup BEFORE the dots: a pair re-found by many
+        # of this cluster's membersets is verified once
+        order2 = np.lexsort((b, a))
+        a, b, ka, kb = a[order2], b[order2], ka[order2], kb[order2]
         uniq = np.ones(len(a), dtype=bool)
         uniq[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        a, b, pi, pj = a[uniq], b[uniq], pi[uniq], pj[uniq]
+        a, b, ka, kb = a[uniq], b[uniq], ka[uniq], kb[uniq]
 
+        pi = _rows_to_positions(mk_sorted, ka)
+        pj = _rows_to_positions(mk_sorted, kb)
         encoder = TfidfEncoder(vocab_ref, config)  # zero-copy plasma read
-        csr = encoder.encode_batch(df["m_txt"].tolist())
+        csr = encoder.encode_batch(txt_list)
         sims = pair_dots(csr, csr, pi, pj)
         keep2 = sims >= max(threshold, 1e-300)
         return pa.table(
@@ -1160,25 +1172,37 @@ def lsh_match_edges(
             batch_size=65536,
         )
     else:
-        members = msets.map_batches(
-            _ExplodeMembersets(), batch_format="pyarrow", batch_size=8192
+        # cluster-anchored verify partitioning: msets keyed by their min
+        # member (pkey) so a cluster's cross-band msets land in ONE bucket
+        msets = msets.map_batches(
+            _MsetPkey(), batch_format="pyarrow", batch_size=8192
         ).materialize()
-        # Release the banded/salted/memberset lineage (see the broadcast
-        # branch note): members owns its blocks after materialize.
-        del banded, salted, msets
+        # Release the banded/salted lineage (see the broadcast branch note):
+        # msets owns its blocks after materialize.
+        del banded, salted
         gc.collect()
-        _tmark("membersets+explode")
-        n_members = members.count()
+        _tmark("membersets+pkey")
         if _tmark.enabled:
-            print(f"    [match] memberset member rows: {n_members}", flush=True)
-        # partition count sized to the member volume (≥250k rows per reduce
-        # task, floored at one wave per CPU): the sort's intermediate object
-        # count is map_blocks × partitions, and on syscall-expensive hosts
-        # tiny-object churn — not bytes — dominates the exchange cost
-        from ..functions.grouped import default_buckets
-
-        jb = int(min(default_buckets(), max(32, -(-n_members // 250_000))))
+            print(f"    [match] membersets: {msets.count()}", flush=True)
         pc_ = __import_pc__()
+
+        # 1+2 FUSED: one mkey-keyed exchange both DEDUPES the (pkey, member)
+        # references (26M occurrence rows in, ~distinct-members out) and
+        # attaches each member's text — a separate dedup exchange followed
+        # by a shuffle_join would move the 26M narrow rows through two
+        # all-to-alls instead of one
+        refs = msets.map_batches(
+            _ExplodeRefs(), batch_format="pyarrow", batch_size=8192
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "mkey": t["mkey"],
+                    "pkey": t["pkey"],
+                    "m_txt": pa.nulls(len(t), pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
 
         def _txt_keyed(src, side_tag: int):
             def fn(t: pa.Table) -> pa.Table:
@@ -1186,7 +1210,13 @@ def lsh_match_edges(
                     pc_.multiply(t["row_idx"].cast(pa.int64()), pa.scalar(2, pa.int64())),
                     pa.scalar(side_tag, pa.int64()),
                 )
-                return pa.table({"mkey": key, "m_txt": t[text_col]})
+                return pa.table(
+                    {
+                        "mkey": key,
+                        "pkey": pa.nulls(len(t), pa.int64()),
+                        "m_txt": t[text_col],
+                    }
+                )
 
             return src.select_columns(["row_idx", text_col]).map_batches(
                 fn, batch_format="pyarrow"
@@ -1195,22 +1225,59 @@ def lsh_match_edges(
         txts = _txt_keyed(left, 0)
         if cross:
             txts = txts.union(_txt_keyed(right, 1))
-        txt_schema = pa.schema([("mkey", pa.int64()), ("m_txt", pa.string())])
-        joined = shuffle_join(
-            members, txts, on="mkey", how="inner",
-            left_schema=_EXPLODED_SCHEMA, right_schema=txt_schema,
-            num_buckets=jb, bundle_rows=32_768,  # rows carry text payloads
-        ).map_batches(
-            lambda t: t.drop_columns(["mkey"]), batch_format="pyarrow"
+
+        def _dedup_and_attach(df: pd.DataFrame) -> pd.DataFrame:
+            is_txt = df["pkey"].isna()
+            texts = df.loc[is_txt, ["mkey", "m_txt"]]
+            refs_ = df.loc[~is_txt, ["pkey", "mkey"]].drop_duplicates()
+            return refs_.merge(texts, on="mkey", how="inner")
+
+        refs_t = bucketed_group_map(refs.union(txts), ["mkey"], _dedup_and_attach)
+
+        # 3. co-bucket membersets with their texts on pkey; verify in-task
+        def _tag_msets(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "pkey": t["pkey"],
+                    "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                    "mset_hash": t["mset_hash"],
+                    "l_members": t["l_members"],
+                    "r_members": t["r_members"],
+                    "l_sides": t["l_sides"],
+                    "r_sides": t["r_sides"],
+                    "mode": t["mode"],
+                    "mkey": pa.nulls(n, pa.int64()),
+                    "m_txt": pa.nulls(n, pa.string()),
+                }
+            )
+
+        def _tag_refs(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "pkey": t["pkey"].cast(pa.int64()),
+                    "kind": pa.array(np.ones(n, dtype=np.int8)),
+                    "mset_hash": pa.nulls(n, pa.int64()),
+                    "l_members": pa.nulls(n, pa.binary()),
+                    "r_members": pa.nulls(n, pa.binary()),
+                    "l_sides": pa.nulls(n, pa.binary()),
+                    "r_sides": pa.nulls(n, pa.binary()),
+                    "mode": pa.nulls(n, pa.int8()),
+                    "mkey": t["mkey"].cast(pa.int64()),
+                    "m_txt": t["m_txt"],
+                }
+            )
+
+        tagged = msets.map_batches(_tag_msets, batch_format="pyarrow").union(
+            refs_t.map_batches(_tag_refs, batch_format="pyarrow")
         )
         verified = bucketed_group_map(
-            joined, ["mset_hash"],
-            _make_bandlocal_verify(vocab_ref, config, cross),
-            num_buckets=jb,
+            tagged, ["pkey"], _make_mset_verify(vocab_ref, config, cross)
         )
         # cross-bucket pair dedup: similarities are bit-identical wherever a
         # pair was verified (same texts, same encoder), so keep-first is safe
-        verified = dedup_pairs(verified, ["left_idx", "right_idx"], num_buckets=jb)
+        verified = dedup_pairs(verified, ["left_idx", "right_idx"])
 
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N
     if not cross:

@@ -189,7 +189,17 @@ def _cc_distributed(
 ) -> "ray.data.Dataset":
     """Min-label propagation with pointer jumping, all Dataset ops.
 
-    Round structure (keys of the shuffles in parentheses):
+    Edge-volume reduction FIRST: repeated map-parallel spanning-forest
+    contraction (one bucketed exchange per round) replaces the verified
+    edge list with per-partition spanning forests — connectivity-exact and
+    ≤ one edge per non-root node, so the O(log n) label-prop rounds below
+    join against ≤ |nodes| tree edges instead of ALL verified edges (which
+    on dup-heavy corpora are many × |nodes|). Contraction repeats while it
+    keeps shrinking the set ≥ 1.5× (round 2 rebuckets the rewritten
+    (root, node) star edges, collapsing chains that round 1 split across
+    partitions).
+
+    Round structure of the propagation (shuffle keys in parentheses):
       1. msg = edges ⋈ labels on left_idx → (right_idx, label)   (join: node)
          plus the mirrored direction
       2. labels' = min over {msg, labels}                        (groupby: node)
@@ -198,6 +208,15 @@ def _cc_distributed(
     Joins use functions.joins.shuffle_join (bucketed hash join).
     """
     from ..functions.joins import shuffle_join
+
+    n_edges = edges.count()
+    for _ in range(3):
+        contracted = spanning_forest_contract(edges).materialize()
+        n_after = contracted.count()
+        edges = contracted
+        if n_after >= n_edges / 1.5:
+            break
+        n_edges = n_after
 
     labels = nodes.select_columns(["row_idx"]).map_batches(
         lambda t: pa.table({"node": t["row_idx"], "label": t["row_idx"]}),
