@@ -86,10 +86,49 @@ def bucketed_group_map(
             return out
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow", batch_size=524_288)
-        .groupby(_BUCKET, num_partitions=num_buckets)
-        .map_groups(run, batch_format="pandas")
+    def run_gen(g: pd.DataFrame):
+        # generator variant for the hash route: yields nothing for empty
+        # partitions (hash partitioning with more partitions than occupied
+        # buckets produces empty blocks, and an empty pandas frame through
+        # bucket_fn risks a schema-less output breaking the downstream union)
+        if len(g):
+            yield run(g)
+
+    import os
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=524_288)
+    if os.environ.get("SGR_GROUP_SHUFFLE", "sort") == "hash":
+        # HASH-PARTITION exchange (opt-in): the shuffle key is already a
+        # dense integer bucket id, so hash repartition streams rows to
+        # aggregator actors with no sample/boundary barrier, honors
+        # num_buckets exactly, and emits ONE block per partition (a bucket
+        # never straddles blocks: hash_shuffle.finalize() builds each
+        # partition as a single block). Measured on this host it wins for
+        # narrow/small exchanges but loses ~8× on the 19.5M-row band-row
+        # exchange (aggregator actors are the bottleneck), so the sort
+        # exchange stays the default; downstream fan-out starvation is
+        # fixed by streaming block splits at the call sites instead.
+        from ray.data.context import ShuffleStrategy
+
+        tagged.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        # each aggregator is a dedicated actor PROCESS; the default cap (64)
+        # starts a per-exchange worker storm on small clusters.
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        tagged.context.max_hash_shuffle_aggregators = min(64, max(8, cpus))
+        shuffled = tagged.repartition(num_buckets, keys=[_BUCKET], sort=False)
+        return shuffled.map_batches(run_gen, batch_format="pandas", batch_size=None)
+
+    # sort-based route (default): num_partitions is ignored by this Ray
+    # version's sort shuffle — reduce parallelism follows the input block
+    # count, so keep map-side bundles big enough to avoid the
+    # input_blocks × partitions intermediate-object quadratic and let
+    # callers split the (few, large) output blocks with a streaming
+    # repartition where downstream stages need task fan-out.
+    return tagged.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
+        run, batch_format="pandas"
     )
 
 

@@ -1027,9 +1027,51 @@ def lsh_match_edges(
 
     _tmark("exact_dup_collapse+rep_filter")
     from ..functions.grouped import groupby_agg
+    from ..functions.stagemap import stage_map_batches
 
     n_left = left.count()
     n_right = right.count() if cross else 0
+    use_broadcast = (n_left + n_right) <= config.verify_broadcast_max_rows
+
+    def _vec_ds(src):
+        return stage_map_batches(
+            src.select_columns(["row_idx", text_col]),
+            TfidfEncoder,
+            (vocab_ref, config, text_col),
+            config,
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
+
+    # Broadcast-verify CSR state depends only on (left, right, vocab) — not
+    # on the candidate pairs — so build it CONCURRENTLY with the banding /
+    # census / salting / pair-emission chain. Those stages are exchange-bound
+    # (CPUs idle while blocks move through the object store); the TF-IDF
+    # encode map soaks up the idle slots and the ~8 s/1M-row encode+assemble
+    # tail disappears from the critical path. Ray Data executes each
+    # driver-thread's dataset with its own streaming executor, so the two
+    # pipelines interleave safely.
+    csr_box: dict = {}
+    csr_thread = None
+    if use_broadcast:
+        import threading
+
+        def _build_csr():
+            try:
+                vocab_size = ray.get(vocab_ref).size
+                l_state = collect_row_csr(_vec_ds(left), vocab_size)
+                r_state = (
+                    collect_row_csr(_vec_ds(right), vocab_size) if cross else None
+                )
+                csr_box["ref"] = ray.put((l_state, r_state))
+            except BaseException as exc:  # re-raised on join
+                csr_box["err"] = exc
+
+        csr_thread = threading.Thread(
+            target=_build_csr, name="broadcast-csr-build", daemon=True
+        )
+        csr_thread.start()
+
     rate = config.census_sample_rate
     if rate is None:
         rate = 1.0 if (n_left + n_right) <= 500_000 else 0.125
@@ -1123,18 +1165,24 @@ def lsh_match_edges(
     #    (linear in bucket occupancy), ONE shuffle_join attaches texts, a
     #    bucketed regroup by memberset verifies each bucket's pairs in-task
     #    — candidate pairs never enter an exchange; only verified edges do.
-    n_left = left.count()
-    n_right = right.count() if cross else 0
-    use_broadcast = (n_left + n_right) <= config.verify_broadcast_max_rows
     import gc
 
     if use_broadcast:
-        pairs = msets.map_batches(
+        # streaming (split-only, no shuffle) repartitions: the sort-based
+        # bucketed exchanges emit few, large blocks — one per reduce
+        # partition — and Ray sizes map-task fan-out by block count, so the
+        # quadratic pair emission and the verify ran as ~4 tasks on 32 CPUs.
+        # Splitting blocks restores full task fan-out for ~zero cost.
+        pairs = msets.repartition(target_num_rows_per_block=16384).map_batches(
             _PairsFromMembersets(cross, config.lsh_pair_emission),
             batch_format="pyarrow",
             batch_size=8192,
         )
-        pairs = dedup_pairs(pairs, ["left_idx", "right_idx"]).materialize()
+        pairs = (
+            dedup_pairs(pairs, ["left_idx", "right_idx"])
+            .repartition(target_num_rows_per_block=65536)
+            .materialize()
+        )
         # Release the banded/salted/memberset lineage NOW: pairs owns its own
         # blocks after materialize, but the lazy datasets above keep the
         # banded blocks (rows × bands — the pipeline's widest intermediate)
@@ -1149,20 +1197,11 @@ def lsh_match_edges(
         if _tmark.enabled:
             print(f"    [match] candidate pairs: {pairs.count()}", flush=True)
 
-        def _vec_ds(src):
-            return stage_map_batches(
-                src.select_columns(["row_idx", text_col]),
-                TfidfEncoder,
-                (vocab_ref, config, text_col),
-                config,
-                batch_format="pyarrow",
-                batch_size=config.batch_size,
-            )
-
-        vocab_size = ray.get(vocab_ref).size
-        l_state = collect_row_csr(_vec_ds(left), vocab_size)
-        r_state = collect_row_csr(_vec_ds(right), vocab_size) if cross else None
-        maps_ref = ray.put((l_state, r_state))
+        csr_thread.join()
+        if "err" in csr_box:
+            raise csr_box["err"]
+        maps_ref = csr_box["ref"]
+        _tmark("csr_join")
         verified = stage_map_batches(
             pairs,
             _VerifyCosineBroadcast,
@@ -1283,6 +1322,10 @@ def lsh_match_edges(
     if not cross:
         verified = verified.materialize()  # consumed twice (self + mirror)
         _tmark("verify")
+        import os as _os
+
+        if _os.environ.get("SGR_STATS"):
+            print(verified.stats(), flush=True)
         mirrored = verified.map_batches(
             lambda t: pa.table(
                 {
