@@ -1154,8 +1154,16 @@ def lsh_match_edges(
     # collapses band repeats BEFORE the quadratic emission.
     from ..functions.grouped import bucketed_group_map, dedup_pairs
 
-    msets = bucketed_group_map(salted, ["band_key", "salt"], _memberset_bucket)
-    msets = dedup_pairs(msets, ["mset_hash"])
+    # bundle hint: the band-row exchange moves ~rows × (bands + exact-dup
+    # collapse band) narrow rows; downstream mset/pair exchanges are the
+    # same order or smaller (bundle_for floors small estimates)
+    from ..functions.grouped import bundle_for
+
+    _bundle = bundle_for((n_left + n_right) * (config.lsh_bands + 1))
+    msets = bucketed_group_map(
+        salted, ["band_key", "salt"], _memberset_bucket, bundle_rows=_bundle
+    )
+    msets = dedup_pairs(msets, ["mset_hash"], bundle_rows=_bundle)
 
     # 5. verify: exact cosine on candidate pairs.
     #    broadcast mode (vectors fit the object store): emit + dedup pairs,
@@ -1179,7 +1187,7 @@ def lsh_match_edges(
             batch_size=8192,
         )
         pairs = (
-            dedup_pairs(pairs, ["left_idx", "right_idx"])
+            dedup_pairs(pairs, ["left_idx", "right_idx"], bundle_rows=_bundle)
             .repartition(target_num_rows_per_block=65536)
             .materialize()
         )
@@ -1353,7 +1361,8 @@ def lsh_match_edges(
         from ..functions.grouped import per_group_topk
 
         out = per_group_topk(
-            verified, "left_idx", ["similarity", "right_idx"], [False, True], topn
+            verified, "left_idx", ["similarity", "right_idx"], [False, True], topn,
+            bundle_rows=_bundle,
         ).select_columns(["left_idx", "right_idx", "similarity"])
     else:
         out = verified.select_columns(["left_idx", "right_idx", "similarity"])
