@@ -191,6 +191,11 @@ class RayStringGrouper:
             )
         edges_ds, _ = match_edges(left_ds, right_ds, raw_cfg, self._vocab, "text")
         raw = edges_ds.to_pandas()
+        if raw.empty and "left_idx" not in raw.columns:
+            # an all-empty edge Dataset loses its schema through to_pandas()
+            raw = pd.DataFrame(
+                {"left_idx": [], "right_idx": [], "similarity": []}
+            )
         raw = raw.astype(
             {"left_idx": np.int64, "right_idx": np.int64, "similarity": np.float64}
         )

@@ -214,3 +214,33 @@ def test_config_defaults_and_immutability():
     assert config2.min_similarity == 0.1
     assert config2.max_n_matches == 100
     assert config2.number_of_processes == 1
+
+
+def test_zero_matches_all_entry_points():
+    # Empty edge sets must not crash fit(): an all-empty edge Dataset loses
+    # its schema through to_pandas() (regression: KeyError 'left_idx').
+    # Reference semantics: match_strings -> empty frame with full columns,
+    # match_most_similar -> each dupe falls back to itself.
+    from string_grouper_ray import (
+        compute_pairwise_similarities,
+        group_similar_strings,
+        match_most_similar,
+    )
+
+    master = pd.Series(["xxx yyy zzz"])
+    dupes = pd.Series(["aaa bbb ccc"])
+
+    ms = match_strings(master, dupes)
+    assert len(ms) == 0
+    assert list(ms.columns) == [
+        "left_index", "left_side", "similarity", "right_side", "right_index",
+    ]
+
+    mm = match_most_similar(master, dupes)
+    assert mm["most_similar_master"].tolist() == ["aaa bbb ccc"]
+
+    gs = group_similar_strings(pd.Series(["xxx yyy", "aaa bbb"]))
+    assert gs["group_rep"].tolist() == ["xxx yyy", "aaa bbb"]
+
+    ps = compute_pairwise_similarities(master, dupes)
+    assert ps.tolist() == [0.0]
