@@ -32,6 +32,24 @@ CLIP_ROWS = int(os.environ.get("GRAFT_CLIP_ROWS", "60000"))
 CLIP_DIR = os.environ.get("GRAFT_CLIP_DIR", f"/tmp/graft_clips_{CLIP_ROWS}")
 
 
+def host_probe() -> float:
+    """Fixed single-thread work unit (numpy matmul) timed in-process.
+
+    This sandbox's hypervisor prices identical runs up to ~2x apart across
+    hours (a 1M-row 32-cpu headline measured 33.2 s and 57.0 s the same
+    day). The probe is run before every --scaling leg and recorded next to
+    the leg's wall time so a reader can tell host drift from code: probe
+    ratios between legs bound the contention during that window."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1024, 1024))
+    t0 = time.time()
+    for _ in range(8):
+        a = a @ a
+        a /= np.abs(a).max()
+    return round(time.time() - t0, 3)
+
+
 def _build_clip_table() -> str:
     """Deterministic synthetic clip table (FIXTURES.md F6); cached on disk,
     shards skipped if already written. Audio payloads omitted at generation
@@ -180,10 +198,13 @@ def main():
             return json.loads(res.stdout.strip().splitlines()[-1])["value"]
 
         _warm = run(hi_cpu)  # warm page cache / fixture build
-        lo_times, hi_times = [], []
+        lo_times, hi_times, probes = [], [], []
         for _ in range(repeats):  # interleaved: noise hits both levels alike
+            probes.append(host_probe())
             lo_times.append(run(lo_cpu))
+            probes.append(host_probe())
             hi_times.append(run(hi_cpu))
+        probes.append(host_probe())
         t_lo, t_hi = min(lo_times), min(hi_times)
         eff = (t_lo / t_hi) / (hi_cpu / lo_cpu)
         print(json.dumps({
@@ -193,6 +214,7 @@ def main():
             f"clips_per_sec_{hi_cpu}": round(rows / t_hi, 1),
             "scaling_efficiency": round(eff, 3),
             "clip_rows": rows, "levels": [lo_cpu, hi_cpu],
+            "host_probe_s": probes,
         }))
         return
 
