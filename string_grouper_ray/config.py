@@ -147,6 +147,15 @@ class EngineConfig:
     #              chances, one per band). Used by the dedup/cluster
     #              pipelines where only the clusters matter.
     lsh_pair_emission: str = "clique"
+    # broadcast-verify pair emission order. True (default): membersets
+    # co-locate by cluster anchor (pkey), pairs are emitted + deduped inside
+    # the bucket task and stream straight into the verify — candidate pairs
+    # never enter an exchange; the passing edges get a (small) cross-bucket
+    # dedup after the verify. False: the pre-r4 order (emit → global pair
+    # dedup → verify), which moves the pre-dedup pair volume through a full
+    # sort exchange — kept for A/B comparison (SGR_PKEY_EMISSION=0/1 also
+    # overrides at run time).
+    lsh_pkey_pair_emission: bool = True
     # checkpointing (state/checkpoint.py); None disables
     checkpoint_dir: Optional[str] = None
     # actor-pool sizing for stateful stages; None → let Ray pick

@@ -1072,7 +1072,11 @@ def lsh_match_edges(
         )
         csr_thread.start()
 
+    import os as _os_env
+
     rate = config.census_sample_rate
+    if _os_env.environ.get("SGR_CENSUS_RATE"):  # A/B override, like SGR_PROFILE
+        rate = float(_os_env.environ["SGR_CENSUS_RATE"])
     if rate is None:
         rate = 1.0 if (n_left + n_right) <= 500_000 else 0.125
 
@@ -1176,21 +1180,72 @@ def lsh_match_edges(
     import gc
 
     if use_broadcast:
-        # streaming (split-only, no shuffle) repartitions: the sort-based
-        # bucketed exchanges emit few, large blocks — one per reduce
-        # partition — and Ray sizes map-task fan-out by block count, so the
-        # quadratic pair emission and the verify ran as ~4 tasks on 32 CPUs.
-        # Splitting blocks restores full task fan-out for ~zero cost.
-        pairs = msets.repartition(target_num_rows_per_block=16384).map_batches(
-            _PairsFromMembersets(cross, config.lsh_pair_emission),
-            batch_format="pyarrow",
-            batch_size=8192,
-        )
-        pairs = (
-            dedup_pairs(pairs, ["left_idx", "right_idx"], bundle_rows=_bundle)
-            .repartition(target_num_rows_per_block=65536)
-            .materialize()
-        )
+        pkey_emission = config.lsh_pkey_pair_emission
+        if _os_env.environ.get("SGR_PKEY_EMISSION"):  # A/B override
+            pkey_emission = _os_env.environ["SGR_PKEY_EMISSION"] == "1"
+        if pkey_emission:
+            # Cluster-anchored pair emission (mirrors the band-local verify
+            # design): membersets co-locate by their cluster anchor (pkey),
+            # pairs are emitted AND fully deduped inside the bucket task, and
+            # the pair stream feeds the broadcast verify directly — candidate
+            # pairs never enter an exchange. The previous order
+            # (emit → global pair dedup → verify) moved the PRE-dedup pair
+            # volume through a full sort exchange, and the within-batch
+            # lexsort only caught same-batch repeats, so on dup-heavy data
+            # the exchange volume grew with bands × cluster size (the
+            # membersets+pairs stage measured 129 s of a 202 s 4M-row
+            # flagship run). Cross-pkey duplicates (a cluster whose min
+            # member differs across bands) survive to the verify and are
+            # deduped on the PASSING edges below — far fewer rows.
+            msets_pk = msets.map_batches(
+                _MsetPkey(), batch_format="pyarrow", batch_size=8192
+            )
+            _emitter = _PairsFromMembersets(cross, config.lsh_pair_emission)
+
+            def _emit_bucket(df: pd.DataFrame) -> pa.Table:
+                t = pa.table(
+                    {
+                        "l_members": pa.array(df["l_members"], type=pa.binary()),
+                        "r_members": pa.array(df["r_members"], type=pa.binary()),
+                        "l_sides": pa.array(df["l_sides"], type=pa.binary()),
+                        "r_sides": pa.array(df["r_sides"], type=pa.binary()),
+                        "mode": pa.array(
+                            df["mode"].to_numpy(dtype=np.int8), type=pa.int8()
+                        ),
+                    }
+                )
+                return _emitter(t)  # emits + lexsort-dedups the whole bucket
+
+            # mset rows ≈ input rows in count (far fewer than pair rows);
+            # size bundles to that so emission — which runs as the exchange's
+            # reduce tasks — keeps full task fan-out
+            pairs = bucketed_group_map(
+                msets_pk,
+                ["pkey"],
+                _emit_bucket,
+                bundle_rows=bundle_for(n_left + n_right),
+            )
+            pairs = (
+                pairs.repartition(target_num_rows_per_block=65536).materialize()
+            )
+            del msets_pk
+        else:
+            # streaming (split-only, no shuffle) repartitions: the sort-based
+            # bucketed exchanges emit few, large blocks — one per reduce
+            # partition — and Ray sizes map-task fan-out by block count, so
+            # the quadratic pair emission and the verify ran as ~4 tasks on
+            # 32 CPUs. Splitting blocks restores full task fan-out for ~zero
+            # cost.
+            pairs = msets.repartition(target_num_rows_per_block=16384).map_batches(
+                _PairsFromMembersets(cross, config.lsh_pair_emission),
+                batch_format="pyarrow",
+                batch_size=8192,
+            )
+            pairs = (
+                dedup_pairs(pairs, ["left_idx", "right_idx"], bundle_rows=_bundle)
+                .repartition(target_num_rows_per_block=65536)
+                .materialize()
+            )
         # Release the banded/salted/memberset lineage NOW: pairs owns its own
         # blocks after materialize, but the lazy datasets above keep the
         # banded blocks (rows × bands — the pipeline's widest intermediate)
@@ -1218,6 +1273,12 @@ def lsh_match_edges(
             batch_format="pyarrow",
             batch_size=65536,
         )
+        if pkey_emission:
+            # cross-bucket pair dedup on the PASSING edges only: similarities
+            # are bit-identical wherever a pair was verified (same packed
+            # vectors, same kernel), so keep-first is safe — the same rule as
+            # the band-local path below
+            verified = dedup_pairs(verified, ["left_idx", "right_idx"])
     else:
         # cluster-anchored verify partitioning: msets keyed by their min
         # member (pkey) so a cluster's cross-band msets land in ONE bucket

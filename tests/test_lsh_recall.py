@@ -177,3 +177,23 @@ def test_star_emission_cluster_recall():
     ep, sp = pair_set(ge), pair_set(gs)
     recall = len(ep & sp) / max(1, len(ep))
     assert recall >= 0.98, recall
+
+
+def test_pkey_emission_equals_legacy(clip_ds):
+    """The broadcast path's cluster-anchored (pkey-local) pair emission must
+    produce the exact same verified edge multiset as the legacy
+    emit -> global-dedup -> verify order, per-pair similarities included."""
+    def run(pkey: bool):
+        cfg = EngineConfig(
+            strategy="lsh", min_similarity=0.8, max_n_matches=None,
+            num_perm=128, lsh_bands=32, use_actor_pools=False,
+            lsh_pkey_pair_emission=pkey,
+        )
+        edges, _ = match_edges(clip_ds, None, cfg)
+        df = edges.to_pandas().sort_values(
+            ["left_idx", "right_idx"]).reset_index(drop=True)
+        return df
+
+    a, b = run(True), run(False)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
