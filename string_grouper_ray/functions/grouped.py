@@ -75,12 +75,24 @@ def bucketed_group_map(
     bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
     num_buckets: Optional[int] = None,
     bundle_rows: Optional[int] = None,
+    shuffle: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """``bucket_fn`` sees one whole bucket (all rows of every group hashed
     into it, WITHOUT the bucket column) and must handle grouping itself.
 
     ``bundle_rows``: map-side bundle size; callers that know their row
-    volume should pass :func:`bundle_for` of it (see that docstring)."""
+    volume should pass :func:`bundle_for` of it (see that docstring).
+
+    ``shuffle``: per-call exchange strategy — ``"sort"`` (default) or
+    ``"hash"``; the ``SGR_GROUP_SHUFFLE`` env var overrides globally.
+    Hash partitioning streams rows to aggregator actors with no
+    sample/boundary barrier, but each hash exchange spawns its own
+    persistent aggregator ACTOR pool; measured on chained exchanges
+    (the band-local verify path) the pools stack — ~100 live aggregator
+    processes at 32 CPUs, 38 s CPU in 7+ min wall vs ~2 min for sort —
+    so no production call site selects hash today. The hook stays for
+    single wide exchanges on real multi-node clusters, where per-node
+    aggregators are the intended Ray design."""
     if num_buckets is None:
         num_buckets = default_buckets()
 
@@ -123,7 +135,19 @@ def bucketed_group_map(
         os.environ.get("SGR_BUNDLE_ROWS", "0")
     ) or bundle_rows or 524_288
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=bundle)
-    if os.environ.get("SGR_GROUP_SHUFFLE", "sort") == "hash":
+    choice = os.environ.get("SGR_GROUP_SHUFFLE") or shuffle or "sort"
+    if choice == "hash" and not os.environ.get("SGR_GROUP_SHUFFLE"):
+        # each hash exchange spins up its own aggregator ACTOR pool; on a
+        # small cluster (tests run at 4 CPUs) several chained exchanges
+        # stack dozens of actor processes and the startup cost swamps the
+        # exchange itself — fall back to sort below 16 CPUs unless the env
+        # var forces hash explicitly
+        try:
+            if int(ray.cluster_resources().get("CPU", 0)) < 16:
+                choice = "sort"
+        except Exception:
+            choice = "sort"
+    if choice == "hash":
         # HASH-PARTITION exchange (opt-in): the shuffle key is already a
         # dense integer bucket id, so hash repartition streams rows to
         # aggregator actors with no sample/boundary barrier, honors
@@ -165,6 +189,7 @@ def dedup_pairs(
     agg: str = "max",
     num_buckets: Optional[int] = None,
     bundle_rows: Optional[int] = None,
+    shuffle: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Distinct rows per key tuple (optionally keeping the max/min of one
     value column). One bucketed shuffle + vectorized pandas dedup — Ray's
@@ -178,7 +203,9 @@ def dedup_pairs(
                             kind="stable")
         return df.groupby(keys, sort=False).head(1)
 
-    return bucketed_group_map(ds, keys, fn, num_buckets, bundle_rows=bundle_rows)
+    return bucketed_group_map(
+        ds, keys, fn, num_buckets, bundle_rows=bundle_rows, shuffle=shuffle
+    )
 
 
 def groupby_agg(

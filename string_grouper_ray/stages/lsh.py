@@ -406,6 +406,130 @@ def _memberset_bucket(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _finish_pairs(a, b, sa, sb, cross: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """Canonicalize emitted index pairs: cross joins orient (left, right) by
+    side and drop same-side pairs; self joins drop the diagonal and order
+    (min, max)."""
+    if cross:
+        keep = sa != sb
+        a2 = np.where(sa == 0, a, b)
+        b2 = np.where(sa == 0, b, a)
+        a, b = a2[keep], b2[keep]
+    else:
+        keep = a != b
+        a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
+    return np.ascontiguousarray(a, dtype=np.int64), np.ascontiguousarray(b, dtype=np.int64)
+
+
+def pairs_from_mset_buffers(
+    lvals: np.ndarray,
+    loff: np.ndarray,
+    rvals: np.ndarray,
+    roff: np.ndarray,
+    lsv: np.ndarray,
+    rsv: np.ndarray,
+    modes: np.ndarray,
+    cross: bool,
+    star: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized candidate-pair emission from packed memberset buffers.
+
+    All mode-0 rows go through the segment-pair (clique) or anchor-spanning
+    (star) kernel at once; mode-1 (chunk-pair) rows — rare, only salted hot
+    buckets — keep a per-row path. Returns canonical, lexsort-deduped
+    ``(a, b)`` int64 arrays. Shared by the map-stage emitter
+    (:class:`_PairsFromMembersets`) and the band-local in-task verify
+    (:func:`_make_mset_verify`) so both regimes emit identical pair sets.
+    """
+    from ..functions.packing import gather_ranges
+
+    l_sizes = np.diff(loff)  # l_sides lengths == l_members lengths
+    outs: List[Tuple[np.ndarray, np.ndarray]] = []
+    same_mask = modes == 0
+
+    def emit_group(starts: np.ndarray, g_sizes: np.ndarray, g_star: bool) -> None:
+        if not len(starts):
+            return
+        gather = gather_ranges(starts, g_sizes)
+        all_rows = lvals[gather]
+        all_sides = lsv[gather]
+        offsets = np.zeros(len(g_sizes), dtype=np.int64)
+        np.cumsum(g_sizes[:-1], out=offsets[1:])
+        if g_star:
+            # members are sorted, so element 0 is the bucket min:
+            # (min, other) spanning edges, PLUS a second spanning set
+            # from the max member — one borderline anchor failing
+            # verify must not disconnect the whole bucket in every
+            # band at once (the anchors decorrelate the failures)
+            csum = np.cumsum(g_sizes - 1) - (g_sizes - 1)
+            within = np.arange(
+                int((g_sizes - 1).sum()), dtype=np.int64
+            ) - np.repeat(csum, g_sizes - 1)
+            ri = np.repeat(offsets, g_sizes - 1) + 1 + within
+            li = np.repeat(offsets, g_sizes - 1)
+            li2 = np.repeat(offsets + g_sizes - 1, g_sizes - 1)
+            ri2 = np.repeat(offsets, g_sizes - 1) + within
+            li = np.concatenate([li, li2])
+            ri = np.concatenate([ri, ri2])
+        else:
+            li, ri = _segment_pairs(offsets, g_sizes)
+        outs.append(
+            _finish_pairs(all_rows[li], all_rows[ri], all_sides[li], all_sides[ri], cross)
+        )
+
+    if same_mask.any():
+        starts = loff[:-1][same_mask]
+        sizes = l_sizes[same_mask]
+        if star:
+            # small membersets get the full clique: star's single-anchor
+            # edges fail verify together when the anchor is a borderline
+            # member, splitting stable clusters (clique cost at <=16
+            # members is bounded: <=120 pairs)
+            small = sizes <= 16
+            emit_group(starts[small], sizes[small], g_star=False)
+            emit_group(starts[~small], sizes[~small], g_star=True)
+        else:
+            emit_group(starts, sizes, g_star=False)
+    for i in np.flatnonzero(modes == 1):
+        lhs = lvals[loff[i] : loff[i + 1]]
+        rhs = rvals[roff[i] : roff[i + 1]]
+        lss = lsv[loff[i] : loff[i + 1]]
+        rss = rsv[roff[i] : roff[i + 1]]
+        if star:
+            # span the chunk pair: union's min vs every other member,
+            # plus a max-anchored second span (decorrelated failures)
+            allm = np.concatenate([lhs, rhs])
+            alls = np.concatenate([lss, rss])
+            for anchor in {int(np.argmin(allm)), int(np.argmax(allm))}:
+                sel = np.arange(len(allm)) != anchor
+                outs.append(
+                    _finish_pairs(
+                        np.full(sel.sum(), allm[anchor], dtype=np.int64),
+                        allm[sel],
+                        np.full(sel.sum(), alls[anchor], dtype=np.int8),
+                        alls[sel],
+                        cross,
+                    )
+                )
+        else:
+            gi, gj = np.meshgrid(
+                np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
+            )
+            gi, gj = gi.reshape(-1), gj.reshape(-1)
+            outs.append(_finish_pairs(lhs[gi], rhs[gj], lss[gi], rss[gj], cross))
+    if not outs:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    a = np.concatenate([o[0] for o in outs])
+    b = np.concatenate([o[1] for o in outs])
+    # within-batch dedup (numpy lexsort — no pandas)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
 class _PairsFromMembersets:
     """Emit candidate pairs from deduplicated membersets, vectorized: all
     mode-0 rows go through the segment-pair (clique) or first-vs-rest (star)
@@ -419,113 +543,17 @@ class _PairsFromMembersets:
         self.star = emission == "star" and not cross
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.packing import gather_ranges, unpack_binary_column
+        from ..functions.packing import unpack_binary_column
 
         lvals, loff = unpack_binary_column(batch["l_members"], np.int64)
         rvals, roff = unpack_binary_column(batch["r_members"], np.int64)
         lsv, _ = unpack_binary_column(batch["l_sides"], np.int8)
         rsv, _ = unpack_binary_column(batch["r_sides"], np.int8)
         modes = batch["mode"].to_numpy(zero_copy_only=False)
-        l_sizes = np.diff(loff)  # l_sides lengths == l_members lengths
-
-        outs: List[Tuple[np.ndarray, np.ndarray]] = []
-        same_mask = modes == 0
-
-        def emit_group(starts: np.ndarray, g_sizes: np.ndarray, star: bool) -> None:
-            if not len(starts):
-                return
-            gather = gather_ranges(starts, g_sizes)
-            all_rows = lvals[gather]
-            all_sides = lsv[gather]
-            offsets = np.zeros(len(g_sizes), dtype=np.int64)
-            np.cumsum(g_sizes[:-1], out=offsets[1:])
-            if star:
-                # members are sorted, so element 0 is the bucket min:
-                # (min, other) spanning edges, PLUS a second spanning set
-                # from the max member — one borderline anchor failing
-                # verify must not disconnect the whole bucket in every
-                # band at once (the anchors decorrelate the failures)
-                csum = np.cumsum(g_sizes - 1) - (g_sizes - 1)
-                within = np.arange(
-                    int((g_sizes - 1).sum()), dtype=np.int64
-                ) - np.repeat(csum, g_sizes - 1)
-                ri = np.repeat(offsets, g_sizes - 1) + 1 + within
-                li = np.repeat(offsets, g_sizes - 1)
-                li2 = np.repeat(offsets + g_sizes - 1, g_sizes - 1)
-                ri2 = np.repeat(offsets, g_sizes - 1) + within
-                li = np.concatenate([li, li2])
-                ri = np.concatenate([ri, ri2])
-            else:
-                li, ri = _segment_pairs(offsets, g_sizes)
-            outs.append(
-                self._finish(all_rows[li], all_rows[ri], all_sides[li], all_sides[ri])
-            )
-
-        if same_mask.any():
-            starts = loff[:-1][same_mask]
-            sizes = l_sizes[same_mask]
-            if self.star:
-                # small membersets get the full clique: star's single-anchor
-                # edges fail verify together when the anchor is a borderline
-                # member, splitting stable clusters (clique cost at <=16
-                # members is bounded: <=120 pairs)
-                small = sizes <= 16
-                emit_group(starts[small], sizes[small], star=False)
-                emit_group(starts[~small], sizes[~small], star=True)
-            else:
-                emit_group(starts, sizes, star=False)
-        for i in np.flatnonzero(modes == 1):
-            lhs = lvals[loff[i] : loff[i + 1]]
-            rhs = rvals[roff[i] : roff[i + 1]]
-            lss = lsv[loff[i] : loff[i + 1]]
-            rss = rsv[roff[i] : roff[i + 1]]
-            if self.star:
-                # span the chunk pair: union's min vs every other member,
-                # plus a max-anchored second span (decorrelated failures)
-                allm = np.concatenate([lhs, rhs])
-                alls = np.concatenate([lss, rss])
-                for anchor in {int(np.argmin(allm)), int(np.argmax(allm))}:
-                    sel = np.arange(len(allm)) != anchor
-                    outs.append(
-                        self._finish(
-                            np.full(sel.sum(), allm[anchor], dtype=np.int64),
-                            allm[sel],
-                            np.full(sel.sum(), alls[anchor], dtype=np.int8),
-                            alls[sel],
-                        )
-                    )
-            else:
-                gi, gj = np.meshgrid(
-                    np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
-                )
-                gi, gj = gi.reshape(-1), gj.reshape(-1)
-                outs.append(self._finish(lhs[gi], rhs[gj], lss[gi], rss[gj]))
-        if not outs:
-            return pa.table(
-                {
-                    "left_idx": pa.array([], type=pa.int64()),
-                    "right_idx": pa.array([], type=pa.int64()),
-                }
-            )
-        a = np.concatenate([o[0] for o in outs])
-        b = np.concatenate([o[1] for o in outs])
-        # within-batch dedup (numpy lexsort — no pandas)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"left_idx": pa.array(a[keep]), "right_idx": pa.array(b[keep])})
-
-    def _finish(self, a, b, sa, sb) -> Tuple[np.ndarray, np.ndarray]:
-        if self.cross:
-            keep = sa != sb
-            a2 = np.where(sa == 0, a, b)
-            b2 = np.where(sa == 0, b, a)
-            a, b = a2[keep], b2[keep]
-        else:
-            keep = a != b
-            a, b = np.minimum(a, b)[keep], np.maximum(a, b)[keep]
-        return np.ascontiguousarray(a, dtype=np.int64), np.ascontiguousarray(b, dtype=np.int64)
+        a, b = pairs_from_mset_buffers(
+            lvals, loff, rvals, roff, lsv, rsv, modes, self.cross, self.star
+        )
+        return pa.table({"left_idx": pa.array(a), "right_idx": pa.array(b)})
 
 
 class _MsetPkey:
@@ -634,81 +662,40 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
         mk_sorted = mk[order]
         txt_list = tr["m_txt"].to_numpy()[order].tolist()
 
-        # emit pair (member-value, side, CSR position) triples per memberset
-        l_members = ms["l_members"].to_numpy()
-        r_members = ms["r_members"].to_numpy()
-        l_sides_col = ms["l_sides"].to_numpy()
-        r_sides_col = ms["r_sides"].to_numpy()
-        modes = ms["mode"].to_numpy()
+        # pair emission over the bucket's membersets: rebuild the packed
+        # buffers from the pandas object columns (one C-level join + length
+        # scan per column) and run the SAME vectorized kernel as the
+        # broadcast path — canonical, deduped (a, b) come back, so a pair
+        # re-found by many of this cluster's membersets is verified once
+        def _pack(col: np.ndarray, width: int) -> Tuple[np.ndarray, np.ndarray]:
+            lens = np.fromiter(
+                (len(x) for x in col), dtype=np.int64, count=len(col)
+            ) // width
+            off = np.zeros(len(col) + 1, dtype=np.int64)
+            np.cumsum(lens, out=off[1:])
+            return b"".join(col), off
 
-        mems: List[np.ndarray] = []
-        sids: List[np.ndarray] = []
-        for i in range(len(ms)):
-            lhs = np.frombuffer(l_members[i], dtype=np.int64)
-            rhs = np.frombuffer(r_members[i], dtype=np.int64)
-            lss = np.frombuffer(l_sides_col[i], dtype=np.int8)
-            rss = np.frombuffer(r_sides_col[i], dtype=np.int8)
-            if modes[i] == 0:
-                if star and len(lhs) > 16:
-                    k = len(lhs)
-                    li = np.concatenate(
-                        [np.zeros(k - 1, np.int64), np.full(k - 1, k - 1, np.int64)]
-                    )
-                    ri = np.concatenate(
-                        [np.arange(1, k, dtype=np.int64), np.arange(0, k - 1, dtype=np.int64)]
-                    )
-                else:
-                    off = np.zeros(1, dtype=np.int64)
-                    li, ri = _segment_pairs(off, np.array([len(lhs)], dtype=np.int64))
-                mems.append(lhs[li]); sids.append(lss[li])
-                mems.append(lhs[ri]); sids.append(lss[ri])
-            else:
-                allm = np.concatenate([lhs, rhs])
-                alls = np.concatenate([lss, rss])
-                if star:
-                    li_parts, ri_parts = [], []
-                    for anchor in {int(np.argmin(allm)), int(np.argmax(allm))}:
-                        sel = np.arange(len(allm)) != anchor
-                        li_parts.append(np.full(int(sel.sum()), anchor, dtype=np.int64))
-                        ri_parts.append(np.flatnonzero(sel).astype(np.int64))
-                    li = np.concatenate(li_parts)
-                    ri = np.concatenate(ri_parts)
-                else:
-                    gi, gj = np.meshgrid(
-                        np.arange(len(lhs)), np.arange(len(rhs)), indexing="ij"
-                    )
-                    li = gi.reshape(-1)
-                    ri = len(lhs) + gj.reshape(-1)
-                mems.append(allm[li]); sids.append(alls[li])
-                mems.append(allm[ri]); sids.append(alls[ri])
-        if not mems:
-            return empty
-        # interleaved [a-parts, b-parts] → stack into flat a/b arrays
-        a = np.concatenate(mems[0::2]) if mems[0::2] else np.empty(0, np.int64)
-        b = np.concatenate(mems[1::2]) if mems[1::2] else np.empty(0, np.int64)
-        sa = np.concatenate(sids[0::2]) if sids[0::2] else np.empty(0, np.int8)
-        sb = np.concatenate(sids[1::2]) if sids[1::2] else np.empty(0, np.int8)
-        if cross:
-            keep = sa != sb
-            a2 = np.where(sa == 0, a, b)
-            b2 = np.where(sa == 0, b, a)
-            a, b = a2[keep], b2[keep]
-            ka, kb = a * 2, b * 2 + 1  # oriented: left side 0, right side 1
-        else:
-            keep = a != b
-            lo2 = np.minimum(a, b)[keep]
-            hi2 = np.maximum(a, b)[keep]
-            a, b = lo2, hi2
-            ka, kb = a * 2, b * 2  # self-join: side always 0
+        l_blob, loff = _pack(ms["l_members"].to_numpy(), 8)
+        r_blob, roff = _pack(ms["r_members"].to_numpy(), 8)
+        ls_blob, _ = _pack(ms["l_sides"].to_numpy(), 1)
+        rs_blob, _ = _pack(ms["r_sides"].to_numpy(), 1)
+        a, b = pairs_from_mset_buffers(
+            np.frombuffer(l_blob, dtype=np.int64),
+            loff,
+            np.frombuffer(r_blob, dtype=np.int64),
+            roff,
+            np.frombuffer(ls_blob, dtype=np.int8),
+            np.frombuffer(rs_blob, dtype=np.int8),
+            ms["mode"].to_numpy(dtype=np.int8),
+            cross,
+            star,
+        )
         if not len(a):
             return empty
-        # within-bucket pair dedup BEFORE the dots: a pair re-found by many
-        # of this cluster's membersets is verified once
-        order2 = np.lexsort((b, a))
-        a, b, ka, kb = a[order2], b[order2], ka[order2], kb[order2]
-        uniq = np.ones(len(a), dtype=bool)
-        uniq[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        a, b, ka, kb = a[uniq], b[uniq], ka[uniq], kb[uniq]
+        if cross:
+            ka, kb = a * 2, b * 2 + 1  # oriented: left side 0, right side 1
+        else:
+            ka, kb = a * 2, b * 2  # self-join: side always 0
 
         pi = _rows_to_positions(mk_sorted, ka)
         pj = _rows_to_positions(mk_sorted, kb)
@@ -1340,6 +1327,19 @@ def lsh_match_edges(
             refs_ = df.loc[~is_txt, ["pkey", "mkey"]].drop_duplicates()
             return refs_.merge(texts, on="mkey", how="inner")
 
+        # exchange strategy, MEASURED: the band-local verify chains three
+        # exchanges back-to-back (mkey text-attach → pkey co-bucket →
+        # verified-edge dedup); at 1M rows the three sort exchanges cost
+        # ~60 s wall against <5 s of UDF compute — all barrier mechanics.
+        # Ray 2.49's hash-shuffle alternative was tried and REJECTED here:
+        # each hash exchange spawns its own persistent aggregator ACTOR
+        # pool, and because these exchanges run chained inside one
+        # streaming execution (and DataContext.shuffle_strategy leaks to
+        # every downstream exchange in the lineage), ~100 aggregator
+        # processes end up live at once on a 32-CPU host — the 1M dist leg
+        # accrued 38 s of CPU in 7+ min of wall before being killed,
+        # vs ~2 min end-to-end for sort. Sort stays; the serial floor is
+        # priced in BENCH/BASELINE.md.
         refs_t = bucketed_group_map(refs.union(txts), ["mkey"], _dedup_and_attach)
 
         # 3. co-bucket membersets with their texts on pkey; verify in-task

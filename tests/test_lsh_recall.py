@@ -99,6 +99,34 @@ def test_lsh_join_mode_verify_equals_broadcast(clip_ds):
     assert np.allclose(db["similarity"], dj["similarity"], atol=1e-12)
 
 
+def test_lsh_join_mode_verify_salted_and_star(clip_ds):
+    """Band-local verify must emit the same edge set as the broadcast path
+    when hot buckets are SALTED (mode-1 chunk-pair membersets) and when the
+    star emission handles big membersets — the two kernel branches the plain
+    join-mode test doesn't reach."""
+    texts = ["identical hot transcript corp"] * 60 + [
+        f"unique filler row {i} zzz" for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "row_idx": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    for emission in ("clique", "star"):
+        base = dict(strategy="lsh", min_similarity=0.8, max_n_matches=None,
+                    use_actor_pools=False, max_bucket_size=10,
+                    lsh_pair_emission=emission)
+        e_b, vocab = match_edges(ds, None, EngineConfig(**base))
+        e_j, _ = match_edges(
+            ds, None, EngineConfig(**base, verify_broadcast_max_rows=0),
+            vocab=vocab,
+        )
+        assert _edges_set(e_b) == _edges_set(e_j), emission
+        assert len(_edges_set(e_j)) >= 60 * 59 // 2 if emission == "clique" else True
+
+
 def test_lsh_cross_join():
     master = pd.DataFrame({"row_idx": np.arange(3), "text": ["foooo", "bar", "baz"]})
     dupes = pd.DataFrame({"row_idx": np.arange(4), "text": ["foooo", "bar", "baz", "foooob"]})
