@@ -258,18 +258,20 @@ class EngineConfig:
             min_store = min(
                 int(n["Resources"].get("object_store_memory", 0)) for n in nodes
             )
-            driver_mem = int(
-                min(
-                    (
-                        n["Resources"].get("memory", float("inf"))
-                        for n in nodes
-                        if n.get("IsHeadNode") or len(nodes) == 1
-                    ),
-                    default=float("inf"),
-                )
+            # the head node (where the driver runs) carries the
+            # node:__internal_head__ resource marker — ray.nodes() entries
+            # have no IsHeadNode field in this Ray version
+            driver_mem = min(
+                (
+                    n["Resources"].get("memory", float("inf"))
+                    for n in nodes
+                    if "node:__internal_head__" in n["Resources"] or len(nodes) == 1
+                ),
+                default=float("inf"),
             )
             if driver_mem == float("inf"):
                 driver_mem = min_store * 2  # conservative fallback
+            driver_mem = int(driver_mem)
         except Exception:
             return cls(**overrides)
         derived = {

@@ -63,7 +63,9 @@ def bundle_for(rows_estimate: int) -> int:
     Measured at 1M flagship rows, 32 CPUs: 524k bundles → 40.9 s end-to-end,
     65k bundles → 26.5 s (reduce ran 20 → ~300 partitions)."""
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # max(…, 1): a workerless head (--num-cpus=0) reports CPU=0.0 —
+        # the .get default only covers a MISSING key, not a zero value
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:
         cpus = 8
     return int(min(4_194_304, max(65_536, rows_estimate // (8 * cpus))))
@@ -76,12 +78,19 @@ def bucketed_group_map(
     num_buckets: Optional[int] = None,
     bundle_rows: Optional[int] = None,
     shuffle: Optional[str] = None,
+    bucket_format: str = "pandas",
 ) -> "ray.data.Dataset":
     """``bucket_fn`` sees one whole bucket (all rows of every group hashed
     into it, WITHOUT the bucket column) and must handle grouping itself.
 
     ``bundle_rows``: map-side bundle size; callers that know their row
     volume should pass :func:`bundle_for` of it (see that docstring).
+
+    ``bucket_format``: ``"pandas"`` (default) or ``"pyarrow"`` — the batch
+    type handed to ``bucket_fn``. Use pyarrow for buckets carrying string
+    or binary payload columns: the pandas conversion boxes every value
+    into a Python object (measured: the dominant cost of the text-carrying
+    verify exchange), while the arrow table slices zero-copy.
 
     ``shuffle``: per-call exchange strategy — ``"sort"`` (default) or
     ``"hash"``; the ``SGR_GROUP_SHUFFLE`` env var overrides globally.
@@ -107,17 +116,27 @@ def bucketed_group_map(
     # caller of this primitive shuffles NARROW rows (ids, keys, packed
     # membersets) — wide-payload joins go through shuffle_join instead.
 
-    def run(g: pd.DataFrame) -> pa.Table:
-        # return ARROW, not the pandas frame: pandas blocks are pickled in
-        # the object store (no zero-copy) and a dataset mixing pandas blocks
-        # with arrow ones from sibling stages breaks repartition and slows
-        # every downstream shuffle ~10× (observed on the 4M-row flagship)
-        out = bucket_fn(g.drop(columns=[_BUCKET]))
-        if isinstance(out, pa.Table):
-            return out
-        return pa.Table.from_pandas(out, preserve_index=False)
+    if bucket_format == "pyarrow":
 
-    def run_gen(g: pd.DataFrame):
+        def run(g: pa.Table) -> pa.Table:
+            out = bucket_fn(g.drop_columns([_BUCKET]))
+            if isinstance(out, pa.Table):
+                return out
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    else:
+
+        def run(g: pd.DataFrame) -> pa.Table:
+            # return ARROW, not the pandas frame: pandas blocks are pickled in
+            # the object store (no zero-copy) and a dataset mixing pandas blocks
+            # with arrow ones from sibling stages breaks repartition and slows
+            # every downstream shuffle ~10× (observed on the 4M-row flagship)
+            out = bucket_fn(g.drop(columns=[_BUCKET]))
+            if isinstance(out, pa.Table):
+                return out
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    def run_gen(g):
         # generator variant for the hash route: yields nothing for empty
         # partitions (hash partitioning with more partitions than occupied
         # buckets produces empty blocks, and an empty pandas frame through
@@ -169,7 +188,9 @@ def bucketed_group_map(
             cpus = 8
         tagged.context.max_hash_shuffle_aggregators = min(64, max(8, cpus))
         shuffled = tagged.repartition(num_buckets, keys=[_BUCKET], sort=False)
-        return shuffled.map_batches(run_gen, batch_format="pandas", batch_size=None)
+        return shuffled.map_batches(
+            run_gen, batch_format=bucket_format, batch_size=None
+        )
 
     # sort-based route (default): num_partitions is ignored by this Ray
     # version's sort shuffle — reduce parallelism follows the input block
@@ -178,7 +199,7 @@ def bucketed_group_map(
     # callers split the (few, large) output blocks with a streaming
     # repartition where downstream stages need task fan-out.
     return tagged.groupby(_BUCKET, num_partitions=num_buckets).map_groups(
-        run, batch_format="pandas"
+        run, batch_format=bucket_format
     )
 
 

@@ -7,7 +7,7 @@ otherwise — and concatenating mixed blocks fails inside the shuffle.
 The robust transport is a single ``binary`` value per row (used by the
 shingle-set joins of ``pipelines/dedup.py``). The tf-idf verify join does
 NOT pack vectors anymore — it carries the (much smaller) texts and
-re-encodes in the verifier (``stages/lsh._make_bandlocal_verify``).
+re-encodes in the verifier (``stages/lsh._make_mset_verify``).
 """
 
 from __future__ import annotations

@@ -107,6 +107,9 @@ def knn_brute_force(
     sides.
     """
     config = config or EngineConfig()
+    # project then materialize ONCE: count() would otherwise execute the
+    # query lineage a first time and to_pandas() a second time
+    queries = queries.select_columns([id_col, vec_col]).materialize()
     n_q = queries.count()
     if n_q > max_query_rows:
         raise ValueError(
@@ -116,7 +119,7 @@ def knn_brute_force(
             "query sets, raise max_query_rows on a big-memory driver, or "
             "swap corpus/queries."
         )
-    qdf = queries.select_columns([id_col, vec_col]).to_pandas()
+    qdf = queries.to_pandas()
     qids = qdf[id_col].to_numpy(dtype=np.int64)
     qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])
     q_ref = ray.put((qids, qmat))

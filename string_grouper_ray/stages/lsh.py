@@ -649,9 +649,19 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
         }
     )
 
+    import os as _osv
+
+    _noop = bool(_osv.environ.get("SGR_VERIFY_NOOP"))  # diagnostic only
+    _timing = bool(_osv.environ.get("SGR_VERIFY_TIMING"))  # diagnostic only
+
     def verify_bucket(df: pd.DataFrame) -> pa.Table:
+        import time as _t
+
         from ..sparse import pair_dots
 
+        if _noop:
+            return empty
+        t0 = _t.perf_counter()
         kind = df["kind"].to_numpy()
         tr = df[kind == 1]
         ms = df[kind == 0]
@@ -661,6 +671,7 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
         order = np.argsort(mk, kind="stable")
         mk_sorted = mk[order]
         txt_list = tr["m_txt"].to_numpy()[order].tolist()
+        t1 = _t.perf_counter()
 
         # pair emission over the bucket's membersets: rebuild the packed
         # buffers from the pandas object columns (one C-level join + length
@@ -690,6 +701,7 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
             cross,
             star,
         )
+        t2 = _t.perf_counter()
         if not len(a):
             return empty
         if cross:
@@ -699,9 +711,31 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
 
         pi = _rows_to_positions(mk_sorted, ka)
         pj = _rows_to_positions(mk_sorted, kb)
+        t3 = _t.perf_counter()
         encoder = TfidfEncoder(vocab_ref, config)  # zero-copy plasma read
         csr = encoder.encode_batch(txt_list)
-        sims = pair_dots(csr, csr, pi, pj)
+        t4 = _t.perf_counter()
+        # chunk the dots: one whole-bucket call allocates ~n_pairs × nnz × 8 B
+        # per intermediate (~1 GB at 200k pairs) — numpy mmaps blocks that
+        # size, so every call refaults fresh zero pages (measured ~25× the
+        # warm-buffer rate). ≤64k-pair chunks stay under glibc's adaptive
+        # mmap threshold and reuse heap memory across chunks — the same
+        # reason the broadcast verify batches at 65536.
+        if len(a) > 65536:
+            sims = np.empty(len(a), dtype=np.float64)
+            for s0 in range(0, len(a), 65536):
+                s1 = min(s0 + 65536, len(a))
+                sims[s0:s1] = pair_dots(csr, csr, pi[s0:s1], pj[s0:s1])
+        else:
+            sims = pair_dots(csr, csr, pi, pj)
+        t5 = _t.perf_counter()
+        if _timing:
+            print(
+                f"[vb] n_txt={len(txt_list)} n_pairs={len(a)} "
+                f"prep={t1 - t0:.2f} emit={t2 - t1:.2f} pos={t3 - t2:.2f} "
+                f"encode={t4 - t3:.2f} dots={t5 - t4:.2f}",
+                flush=True,
+            )
         keep2 = sims >= max(threshold, 1e-300)
         return pa.table(
             {
@@ -1084,15 +1118,18 @@ def lsh_match_edges(
             for r in hot_rows
         }
 
+    def _bands(l_src, r_src):
+        b = _band_rows(l_src, config, text_col, side=0)
+        if cross:
+            b = b.union(_band_rows(r_src, config, text_col, side=1))
+        return b
+
     if rate >= 1.0:
         # exact census: band rows once, materialized — the census and the
         # salted chain both consume it, and an A/B at 1M showed the lazy
         # re-execution costs ~49 s in the census alone vs ~3 s census + one
         # plasma round-trip when materialized (banding is the widest map).
-        banded = _band_rows(left, config, text_col, side=0)
-        if cross:
-            banded = banded.union(_band_rows(right, config, text_col, side=1))
-        banded = banded.materialize()
+        banded = _bands(left, right).materialize()
         _tmark("band_rows")
         hot = _census(banded, 1, float(config.max_bucket_size))
     else:
@@ -1102,7 +1139,7 @@ def lsh_match_edges(
         # barrier, no full-volume census exchange. Salting never changes the
         # pair set, so estimation error costs balance, not correctness; the
         # 0.75× threshold biases toward salting borderline-hot buckets.
-        inv = max(2, int(round(1.0 / rate)))
+        inv = max(2, int(round(1.0 / max(rate, 1e-9))))  # rate<=0 → full census would be wrong; clamp to a huge-but-finite inverse
 
         def _sample(src):
             def fn(t: pa.Table) -> pa.Table:
@@ -1114,13 +1151,11 @@ def lsh_match_edges(
                 fn, batch_format="pyarrow"
             )
 
-        sampled = _band_rows(_sample(left), config, text_col, side=0)
-        if cross:
-            sampled = sampled.union(_band_rows(_sample(right), config, text_col, side=1))
-        hot = _census(sampled, inv, 0.75 * config.max_bucket_size)
-        banded = _band_rows(left, config, text_col, side=0)
-        if cross:
-            banded = banded.union(_band_rows(right, config, text_col, side=1))
+        hot = _census(
+            _bands(_sample(left), _sample(right) if cross else None),
+            inv, 0.75 * config.max_bucket_size,
+        )
+        banded = _bands(left, right)
         _tmark("band_rows(sampled census)")
     hot_ref = ray.put(hot)
     _tmark("hot_census")
@@ -1281,19 +1316,163 @@ def lsh_match_edges(
             print(f"    [match] membersets: {msets.count()}", flush=True)
         pc_ = __import_pc__()
 
-        # 1+2 FUSED: one mkey-keyed exchange both DEDUPES the (pkey, member)
-        # references (26M occurrence rows in, ~distinct-members out) and
-        # attaches each member's text — a separate dedup exchange followed
-        # by a shuffle_join would move the 26M narrow rows through two
-        # all-to-alls instead of one
-        refs = msets.map_batches(
+        # ---- anchor canonicalization --------------------------------------
+        # pkey (the mset's min member) varies per band for borderline
+        # clusters: measured at 2M rows, the same member's text shipped to
+        # ~7 distinct pkeys (14.8M text-carrying rows for 2M texts) and the
+        # same pair was re-verified in ~7 buckets (36.6M pair instances for
+        # ~5M distinct pairs) — encode+dots, the verify's whole CPU bill,
+        # scaled with the multiplicity. ONE label-propagation hop fixes the
+        # key: a(m) = min pkey over the msets containing member m, and every
+        # mset is re-keyed to K = a(pkey). A cluster's cross-band msets then
+        # share one bucket, so each text ships ~once and the in-bucket pair
+        # dedup collapses cross-band repeats BEFORE the expensive kernels.
+        # Three narrow exchanges (X_a anchors+mset relabel, X_b ref relabel,
+        # X_c text attach) replace the old single attach exchange; each is
+        # ids-only except X_a's packed msets, and the verify exchange's
+        # text volume drops ~6×. K is ONLY a placement key — pair emission
+        # and similarity never read it, so the edge set is unchanged (the
+        # broadcast-equality tests pin this).
+        refs0 = msets.map_batches(
             _ExplodeRefs(), batch_format="pyarrow", batch_size=8192
+        ).materialize()
+
+        # X_a input: ref occurrences keyed by RAW member id (sides share an
+        # anchor slot — harmless for a placement key) ∪ msets keyed by pkey
+        def _xa_refs(t: pa.Table) -> pa.Table:
+            mk = t["mkey"].to_numpy(zero_copy_only=False)
+            n = len(t)
+            return pa.table(
+                {
+                    "rkey": pa.array(mk >> 1),  # arithmetic shift == //2 for negatives
+                    "xkind": pa.array(np.zeros(n, dtype=np.int8)),
+                    "pkey": t["pkey"],
+                    "mset_hash": pa.array(np.zeros(n, dtype=np.int64)),
+                    "l_members": pa.nulls(n, pa.binary()),
+                    "r_members": pa.nulls(n, pa.binary()),
+                    "l_sides": pa.nulls(n, pa.binary()),
+                    "r_sides": pa.nulls(n, pa.binary()),
+                    "mode": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            )
+
+        def _xa_msets(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "rkey": t["pkey"],
+                    "xkind": pa.array(np.ones(n, dtype=np.int8)),
+                    "pkey": t["pkey"],
+                    "mset_hash": t["mset_hash"],
+                    "l_members": t["l_members"],
+                    "r_members": t["r_members"],
+                    "l_sides": t["l_sides"],
+                    "r_sides": t["r_sides"],
+                    "mode": t["mode"],
+                }
+            )
+
+        def _anchor_and_relabel(df: pd.DataFrame) -> pd.DataFrame:
+            is_ref = df["xkind"].to_numpy() == 0
+            rf = df.loc[is_ref, ["rkey", "pkey"]]
+            am = rf.groupby("rkey", sort=False)["pkey"].min().rename("_a").reset_index()
+            ms_ = df.loc[~is_ref].drop(columns=["rkey"])
+            if len(ms_):
+                # int64-exact relabel: inner merge + isin leftovers — a
+                # map/fillna would round ids above 2^53 through float64
+                hit = ms_.merge(
+                    am.rename(columns={"rkey": "pkey"}), on="pkey", how="inner"
+                )
+                hit["pkey"] = hit.pop("_a")
+                miss = ms_.loc[~ms_["pkey"].isin(am["rkey"])]
+                ms_ = pd.concat([hit, miss], ignore_index=True) if len(miss) else hit
+            arows = pd.DataFrame(
+                {
+                    "xkind": np.zeros(len(am), dtype=np.int8),
+                    "pkey": am["rkey"].to_numpy(dtype=np.int64),
+                    "mset_hash": am["_a"].to_numpy(dtype=np.int64),  # anchor value
+                    "l_members": [b""] * len(am),
+                    "r_members": [b""] * len(am),
+                    "l_sides": [b""] * len(am),
+                    "r_sides": [b""] * len(am),
+                    "mode": np.zeros(len(am), dtype=np.int8),
+                }
+            )
+            ms_["xkind"] = np.ones(len(ms_), dtype=np.int8)
+            return pd.concat([arows, ms_[arows.columns.tolist()]], ignore_index=True)
+
+        xa_out = bucketed_group_map(
+            refs0.map_batches(_xa_refs, batch_format="pyarrow").union(
+                msets.map_batches(_xa_msets, batch_format="pyarrow")
+            ),
+            ["rkey"],
+            _anchor_and_relabel,
+            bundle_rows=_bundle,
+        ).materialize()
+        # anchors: (pkey = raw member id, anchor in mset_hash slot)
+        anchors = xa_out.filter(expr="xkind == 0").map_batches(
+            lambda t: pa.table({"pkey": t["pkey"], "anchor": t["mset_hash"]}),
+            batch_format="pyarrow",
+        )
+        msets = xa_out.filter(expr="xkind == 1").map_batches(
+            lambda t: t.drop_columns(["xkind"]), batch_format="pyarrow"
+        )
+        _tmark("anchor_relabel")
+
+        # X_b: relabel ref occurrences by anchor(pkey) — ids-only exchange
+        def _xb_refs(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "pkey": t["pkey"],
+                    "bkind": pa.array(np.ones(n, dtype=np.int8)),
+                    "mkey": t["mkey"],
+                    "anchor": pa.array(np.zeros(n, dtype=np.int64)),
+                }
+            )
+
+        def _xb_anchors(t: pa.Table) -> pa.Table:
+            n = len(t)
+            return pa.table(
+                {
+                    "pkey": t["pkey"],
+                    "bkind": pa.array(np.zeros(n, dtype=np.int8)),
+                    "mkey": pa.array(np.zeros(n, dtype=np.int64)),
+                    "anchor": t["anchor"],
+                }
+            )
+
+        def _relabel_refs(df: pd.DataFrame) -> pd.DataFrame:
+            is_a = df["bkind"].to_numpy() == 0
+            am = df.loc[is_a, ["pkey", "anchor"]]
+            rf = df.loc[~is_a, ["pkey", "mkey"]]
+            hit = rf.merge(am, on="pkey", how="inner")
+            miss = rf.loc[~rf["pkey"].isin(am["pkey"])]
+            if len(miss):
+                miss = miss.assign(anchor=miss["pkey"].to_numpy())
+                hit = pd.concat([hit, miss], ignore_index=True)
+            out = hit[["anchor", "mkey"]].rename(columns={"anchor": "pkey"})
+            return out.drop_duplicates()
+
+        refs = bucketed_group_map(
+            refs0.map_batches(_xb_refs, batch_format="pyarrow").union(
+                anchors.map_batches(_xb_anchors, batch_format="pyarrow")
+            ),
+            ["pkey"],
+            _relabel_refs,
+            bundle_rows=_bundle,
         ).map_batches(
             lambda t: pa.table(
                 {
                     "mkey": t["mkey"],
                     "pkey": t["pkey"],
                     "m_txt": pa.nulls(len(t), pa.string()),
+                    # int columns in this union carry NO nulls (kind
+                    # discriminates instead): a nullable int64 through the
+                    # pandas bucket frame degrades to float64 and silently
+                    # rounds ids above 2^53 (user id_col values can be
+                    # arbitrary int64 — see _ExplodeRefs' 2^62 contract)
+                    "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
                 }
             ),
             batch_format="pyarrow",
@@ -1308,8 +1487,9 @@ def lsh_match_edges(
                 return pa.table(
                     {
                         "mkey": key,
-                        "pkey": pa.nulls(len(t), pa.int64()),
+                        "pkey": pa.array(np.zeros(len(t), dtype=np.int64)),
                         "m_txt": t[text_col],
+                        "kind": pa.array(np.ones(len(t), dtype=np.int8)),
                     }
                 )
 
@@ -1322,7 +1502,7 @@ def lsh_match_edges(
             txts = txts.union(_txt_keyed(right, 1))
 
         def _dedup_and_attach(df: pd.DataFrame) -> pd.DataFrame:
-            is_txt = df["pkey"].isna()
+            is_txt = df["kind"].to_numpy() == 1
             texts = df.loc[is_txt, ["mkey", "m_txt"]]
             refs_ = df.loc[~is_txt, ["pkey", "mkey"]].drop_duplicates()
             return refs_.merge(texts, on="mkey", how="inner")
@@ -1340,7 +1520,17 @@ def lsh_match_edges(
         # accrued 38 s of CPU in 7+ min of wall before being killed,
         # vs ~2 min end-to-end for sort. Sort stays; the serial floor is
         # priced in BENCH/BASELINE.md.
-        refs_t = bucketed_group_map(refs.union(txts), ["mkey"], _dedup_and_attach)
+        # bundle sizing (58686c0's measured effect, applied to this chain):
+        # exchange 1 moves ~member-occurrence volume (≈ rows × bands), so
+        # the default 524k bundles would leave only ~50 reduce tasks at 2M
+        # rows — size to the row volume for ~8 blocks per CPU slot instead
+        refs_t = bucketed_group_map(
+            refs.union(txts), ["mkey"], _dedup_and_attach, bundle_rows=_bundle
+        )
+        _vmarks = bool(_os_env.environ.get("SGR_VERIFY_MARKS"))
+        if _vmarks:  # diagnostic: isolate each verify exchange's wall
+            refs_t = refs_t.materialize()
+            _tmark("verify:attach_exchange")
 
         # 3. co-bucket membersets with their texts on pkey; verify in-task
         def _tag_msets(t: pa.Table) -> pa.Table:
@@ -1355,7 +1545,9 @@ def lsh_match_edges(
                     "l_sides": t["l_sides"],
                     "r_sides": t["r_sides"],
                     "mode": t["mode"],
-                    "mkey": pa.nulls(n, pa.int64()),
+                    # 0-fill, not nulls: kind discriminates, and nullable
+                    # int64 → pandas float64 rounds ids above 2^53
+                    "mkey": pa.array(np.zeros(n, dtype=np.int64)),
                     "m_txt": pa.nulls(n, pa.string()),
                 }
             )
@@ -1366,12 +1558,12 @@ def lsh_match_edges(
                 {
                     "pkey": t["pkey"].cast(pa.int64()),
                     "kind": pa.array(np.ones(n, dtype=np.int8)),
-                    "mset_hash": pa.nulls(n, pa.int64()),
+                    "mset_hash": pa.array(np.zeros(n, dtype=np.int64)),
                     "l_members": pa.nulls(n, pa.binary()),
                     "r_members": pa.nulls(n, pa.binary()),
                     "l_sides": pa.nulls(n, pa.binary()),
                     "r_sides": pa.nulls(n, pa.binary()),
-                    "mode": pa.nulls(n, pa.int8()),
+                    "mode": pa.array(np.zeros(n, dtype=np.int8)),
                     "mkey": t["mkey"].cast(pa.int64()),
                     "m_txt": t["m_txt"],
                 }
@@ -1380,20 +1572,28 @@ def lsh_match_edges(
         tagged = msets.map_batches(_tag_msets, batch_format="pyarrow").union(
             refs_t.map_batches(_tag_refs, batch_format="pyarrow")
         )
+        _bundle_n = bundle_for(n_left + n_right)
         verified = bucketed_group_map(
-            tagged, ["pkey"], _make_mset_verify(vocab_ref, config, cross)
+            tagged, ["pkey"], _make_mset_verify(vocab_ref, config, cross),
+            bundle_rows=_bundle_n,
         )
+        if _vmarks:
+            verified = verified.materialize()
+            _tmark("verify:inbucket_exchange")
         # cross-bucket pair dedup: similarities are bit-identical wherever a
         # pair was verified (same texts, same encoder), so keep-first is safe
-        verified = dedup_pairs(verified, ["left_idx", "right_idx"])
+        verified = dedup_pairs(
+            verified, ["left_idx", "right_idx"], bundle_rows=_bundle_n
+        )
+        if _vmarks:
+            verified = verified.materialize()
+            _tmark("verify:dedup_exchange")
 
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N
     if not cross:
         verified = verified.materialize()  # consumed twice (self + mirror)
         _tmark("verify")
-        import os as _os
-
-        if _os.environ.get("SGR_STATS"):
+        if _os_env.environ.get("SGR_STATS"):
             print(verified.stats(), flush=True)
         mirrored = verified.map_batches(
             lambda t: pa.table(

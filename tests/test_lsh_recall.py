@@ -127,6 +127,55 @@ def test_lsh_join_mode_verify_salted_and_star(clip_ds):
         assert len(_edges_set(e_j)) >= 60 * 59 // 2 if emission == "clique" else True
 
 
+def test_lsh_join_mode_verify_huge_ids():
+    """row_idx above 2^53 must survive the band-local verify exchanges
+    EXACTLY: a nullable int64 column through a pandas bucket frame degrades
+    to float64 and silently rounds such ids (the union columns are 0-filled
+    with a kind discriminator precisely to prevent this)."""
+    base = np.int64(2**53)
+    texts = ["shared near duplicate transcript alpha"] * 3 + [
+        f"unique text number {i} qqq" for i in range(5)
+    ]
+    ids = base + np.arange(1, len(texts) + 1, dtype=np.int64) * 3 + 1
+    t = pa.table({"row_idx": pa.array(ids), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(2)
+    cfg = dict(strategy="lsh", min_similarity=0.8, max_n_matches=None,
+               use_actor_pools=False)
+    e_b, vocab = match_edges(ds, None, EngineConfig(**cfg))
+    e_j, _ = match_edges(
+        ds, None, EngineConfig(**cfg, verify_broadcast_max_rows=0), vocab=vocab
+    )
+    pb, pj = _edges_set(e_b), _edges_set(e_j)
+    assert pb == pj and len(pb) == 3
+    # every id in the output must be one of the exact inputs (no float rounding)
+    out_ids = set(np.asarray(e_j.to_pandas()[["left_idx", "right_idx"]]).ravel())
+    assert out_ids <= set(ids.tolist())
+
+
+def test_for_cluster_multinode_derivation(monkeypatch):
+    """for_cluster must find the head node via the node:__internal_head__
+    resource marker (ray.nodes() has no IsHeadNode field) and use the
+    SMALLEST node's object store for the broadcast cutoffs."""
+    from string_grouper_ray.config import EngineConfig
+
+    gib = 1024**3
+    fake_nodes = [
+        {"Alive": True, "Resources": {"CPU": 32.0, "memory": 64 * gib,
+                                      "object_store_memory": 16 * gib,
+                                      "node:__internal_head__": 1.0}},
+        {"Alive": True, "Resources": {"CPU": 32.0, "memory": 256 * gib,
+                                      "object_store_memory": 4 * gib}},
+    ]
+    monkeypatch.setattr(ray, "nodes", lambda: fake_nodes)
+    cfg = EngineConfig.for_cluster()
+    # min store is the 4 GiB worker, driver memory is the 64 GiB head
+    assert cfg.rep_broadcast_max_rows == int(0.10 * 4 * gib / 8)
+    assert cfg.cc_driver_max_edges == int(0.20 * 64 * gib / 16)
+    assert cfg.verify_broadcast_max_rows == int(
+        min(0.25 * 4 * gib / 360, 0.30 * 64 * gib / (3 * 360))
+    )
+
+
 def test_lsh_cross_join():
     master = pd.DataFrame({"row_idx": np.arange(3), "text": ["foooo", "bar", "baz"]})
     dupes = pd.DataFrame({"row_idx": np.arange(4), "text": ["foooo", "bar", "baz", "foooob"]})
