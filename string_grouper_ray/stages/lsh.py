@@ -686,21 +686,52 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
             np.cumsum(lens, out=off[1:])
             return b"".join(col), off
 
-        l_blob, loff = _pack(ms["l_members"].to_numpy(), 8)
-        r_blob, roff = _pack(ms["r_members"].to_numpy(), 8)
-        ls_blob, _ = _pack(ms["l_sides"].to_numpy(), 1)
-        rs_blob, _ = _pack(ms["r_sides"].to_numpy(), 1)
-        a, b = pairs_from_mset_buffers(
-            np.frombuffer(l_blob, dtype=np.int64),
-            loff,
-            np.frombuffer(r_blob, dtype=np.int64),
-            roff,
-            np.frombuffer(ls_blob, dtype=np.int8),
-            np.frombuffer(rs_blob, dtype=np.int8),
-            ms["mode"].to_numpy(dtype=np.int8),
-            cross,
-            star,
-        )
+        def _emit(sub: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
+            l_blob, loff = _pack(sub["l_members"].to_numpy(), 8)
+            r_blob, roff = _pack(sub["r_members"].to_numpy(), 8)
+            ls_blob, _ = _pack(sub["l_sides"].to_numpy(), 1)
+            rs_blob, _ = _pack(sub["r_sides"].to_numpy(), 1)
+            return pairs_from_mset_buffers(
+                np.frombuffer(l_blob, dtype=np.int64),
+                loff,
+                np.frombuffer(r_blob, dtype=np.int64),
+                roff,
+                np.frombuffer(ls_blob, dtype=np.int8),
+                np.frombuffer(rs_blob, dtype=np.int8),
+                sub["mode"].to_numpy(dtype=np.int8),
+                cross,
+                star,
+            )
+
+        ns_col = ms["nsalt"].to_numpy(dtype=np.int64)
+        if (ns_col == 1).all():
+            a, b = _emit(ms)
+        else:
+            # hot-anchor replicas partition the PAIR SPACE: replica (K, j)
+            # of an nsalt=s anchor keeps only pairs whose canonical left
+            # member hashes to j — replicas are disjoint by construction,
+            # so no cross-salt duplicates survive to the global dedup
+            sl_col = ms["salt"].to_numpy(dtype=np.int64)
+            parts: List[Tuple[np.ndarray, np.ndarray]] = []
+            combo = ns_col * 128 + sl_col
+            for c in np.unique(combo):
+                sub = ms[combo == c]
+                pa_, pb_ = _emit(sub)
+                ns_i = int(c) // 128
+                if ns_i > 1 and len(pa_):
+                    keep_s = (
+                        _sm64(pa_.astype(np.uint64)) % np.uint64(ns_i)
+                    ) == np.uint64(int(c) % 128)
+                    pa_, pb_ = pa_[keep_s], pb_[keep_s]
+                parts.append((pa_, pb_))
+            a = np.concatenate([p[0] for p in parts])
+            b = np.concatenate([p[1] for p in parts])
+            if len(a):
+                order_ab = np.lexsort((b, a))
+                a, b = a[order_ab], b[order_ab]
+                uq = np.ones(len(a), dtype=bool)
+                uq[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+                a, b = a[uq], b[uq]
         t2 = _t.perf_counter()
         if not len(a):
             return empty
@@ -1419,6 +1450,83 @@ def lsh_match_edges(
         )
         _tmark("anchor_relabel")
 
+        # ---- hot-anchor pair-space salting --------------------------------
+        # anchoring co-locates a whole near-dup family under one key, so a
+        # giant family serializes its entire verify in ONE task (measured at
+        # 2M rows: one bucket held 10.8M of 22.3M pairs, 31 s serial — and
+        # family pair counts grow quadratically with rows). Census the
+        # estimated pair volume per anchor (Σ size² over its msets — an
+        # upper bound, fine for a placement decision), and split hot
+        # anchors' PAIR SPACE s ways: each (K, j) replica emits only pairs
+        # whose canonical left member hashes to j, so replicas partition the
+        # pair set exactly (no cross-salt duplicates) at the cost of
+        # shipping the hot anchors' texts s×. The census is a partial
+        # aggregate + a driver collect of hot keys only (bounded).
+        def _heat_partial(t: pa.Table) -> pa.Table:
+            from ..functions.packing import unpack_binary_column
+
+            _, lo = unpack_binary_column(t["l_members"], np.int64)
+            _, ro = unpack_binary_column(t["r_members"], np.int64)
+            sz = (np.diff(lo) + np.diff(ro)).astype(np.float64)
+            est = sz * (sz - 1.0) / 2.0
+            pk = t["pkey"].to_numpy(zero_copy_only=False)
+            uk, inv_ = np.unique(pk, return_inverse=True)
+            return pa.table(
+                {"pkey": pa.array(uk), "est": pa.array(np.bincount(inv_, weights=est))}
+            )
+
+        from ..functions.grouped import groupby_agg as _gba
+
+        _salt_min = float(
+            _os_env.environ.get("SGR_ANCHOR_SALT_MIN", "4000000")
+        )  # pairs per task before splitting (env override for tests/A-B)
+        heat = _gba(
+            msets.map_batches(_heat_partial, batch_format="pyarrow"),
+            "pkey", "est", "sum", out_col="est",
+        )
+        hot_rows = heat.filter(expr=f"est >= {_salt_min}").take(1024)
+        if len(hot_rows) == 1024:
+            # bounded collect: beyond the cap the biggest keys still split;
+            # the remainder just stays unsplit (placement-only decision)
+            print("    [match] anchor-salt census hit the 1024-key cap", flush=True)
+        hot_salt = {
+            int(r["pkey"]): int(min(64, max(2, round(r["est"] / _salt_min))))
+            for r in hot_rows
+        }
+        hot_ref2 = ray.put(hot_salt)
+
+        def _salt_cols(pk: np.ndarray) -> np.ndarray:
+            """Per-row nsalt via sorted-lookup into the hot-key map."""
+            hs = ray.get(hot_ref2)
+            ns = np.ones(len(pk), dtype=np.int64)
+            if hs:
+                hk = np.array(sorted(hs), dtype=np.int64)
+                hv = np.array([hs[int(k)] for k in hk], dtype=np.int64)
+                pos = np.searchsorted(hk, pk)
+                ok = pos < len(hk)
+                ok[ok] = hk[pos[ok]] == pk[ok]
+                ns[ok] = hv[pos[ok]]
+            return ns
+
+        def _replicate_hot(t: pa.Table) -> pa.Table:
+            """Replicate rows with hot pkey nsalt× (salt = 0..nsalt-1);
+            cold rows pass through with salt=0, nsalt=1."""
+            pk = t["pkey"].to_numpy(zero_copy_only=False)
+            ns = _salt_cols(pk)
+            if (ns == 1).all():
+                n = len(t)
+                return t.append_column(
+                    "salt", pa.array(np.zeros(n, dtype=np.int64))
+                ).append_column("nsalt", pa.array(np.ones(n, dtype=np.int64)))
+            idx = np.repeat(np.arange(len(t), dtype=np.int64), ns)
+            salt = np.arange(len(idx), dtype=np.int64) - np.repeat(
+                np.cumsum(ns) - ns, ns
+            )
+            out = t.take(pa.array(idx))
+            return out.append_column("salt", pa.array(salt)).append_column(
+                "nsalt", pa.array(ns[idx])
+            )
+
         # X_b: relabel ref occurrences by anchor(pkey) — ids-only exchange
         def _xb_refs(t: pa.Table) -> pa.Table:
             n = len(t)
@@ -1454,15 +1562,12 @@ def lsh_match_edges(
             out = hit[["anchor", "mkey"]].rename(columns={"anchor": "pkey"})
             return out.drop_duplicates()
 
-        refs = bucketed_group_map(
-            refs0.map_batches(_xb_refs, batch_format="pyarrow").union(
-                anchors.map_batches(_xb_anchors, batch_format="pyarrow")
-            ),
-            ["pkey"],
-            _relabel_refs,
-            bundle_rows=_bundle,
-        ).map_batches(
-            lambda t: pa.table(
+        def _shape_ref(t: pa.Table) -> pa.Table:
+            # replicate hot-anchor refs across their salt range so every
+            # (K, j) verify bucket holds the member's text, then shape for
+            # the attach union
+            t = _replicate_hot(t)
+            return pa.table(
                 {
                     "mkey": t["mkey"],
                     "pkey": t["pkey"],
@@ -1473,10 +1578,18 @@ def lsh_match_edges(
                     # rounds ids above 2^53 (user id_col values can be
                     # arbitrary int64 — see _ExplodeRefs' 2^62 contract)
                     "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+                    "salt": t["salt"],
                 }
+            )
+
+        refs = bucketed_group_map(
+            refs0.map_batches(_xb_refs, batch_format="pyarrow").union(
+                anchors.map_batches(_xb_anchors, batch_format="pyarrow")
             ),
-            batch_format="pyarrow",
-        )
+            ["pkey"],
+            _relabel_refs,
+            bundle_rows=_bundle,
+        ).map_batches(_shape_ref, batch_format="pyarrow")
 
         def _txt_keyed(src, side_tag: int):
             def fn(t: pa.Table) -> pa.Table:
@@ -1484,12 +1597,14 @@ def lsh_match_edges(
                     pc_.multiply(t["row_idx"].cast(pa.int64()), pa.scalar(2, pa.int64())),
                     pa.scalar(side_tag, pa.int64()),
                 )
+                n = len(t)
                 return pa.table(
                     {
                         "mkey": key,
-                        "pkey": pa.array(np.zeros(len(t), dtype=np.int64)),
+                        "pkey": pa.array(np.zeros(n, dtype=np.int64)),
                         "m_txt": t[text_col],
-                        "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+                        "kind": pa.array(np.ones(n, dtype=np.int8)),
+                        "salt": pa.array(np.zeros(n, dtype=np.int64)),
                     }
                 )
 
@@ -1504,7 +1619,7 @@ def lsh_match_edges(
         def _dedup_and_attach(df: pd.DataFrame) -> pd.DataFrame:
             is_txt = df["kind"].to_numpy() == 1
             texts = df.loc[is_txt, ["mkey", "m_txt"]]
-            refs_ = df.loc[~is_txt, ["pkey", "mkey"]].drop_duplicates()
+            refs_ = df.loc[~is_txt, ["pkey", "salt", "mkey"]].drop_duplicates()
             return refs_.merge(texts, on="mkey", how="inner")
 
         # exchange strategy, MEASURED: the band-local verify chains three
@@ -1532,8 +1647,11 @@ def lsh_match_edges(
             refs_t = refs_t.materialize()
             _tmark("verify:attach_exchange")
 
-        # 3. co-bucket membersets with their texts on pkey; verify in-task
+        # 3. co-bucket membersets with their texts on (pkey, salt); verify
+        # in-task. Hot-anchor msets replicate with a per-replica pair-space
+        # filter (nsalt); cold rows ride with salt=0, nsalt=1.
         def _tag_msets(t: pa.Table) -> pa.Table:
+            t = _replicate_hot(t)
             n = len(t)
             return pa.table(
                 {
@@ -1549,6 +1667,8 @@ def lsh_match_edges(
                     # int64 → pandas float64 rounds ids above 2^53
                     "mkey": pa.array(np.zeros(n, dtype=np.int64)),
                     "m_txt": pa.nulls(n, pa.string()),
+                    "salt": t["salt"],
+                    "nsalt": t["nsalt"],
                 }
             )
 
@@ -1566,6 +1686,8 @@ def lsh_match_edges(
                     "mode": pa.array(np.zeros(n, dtype=np.int8)),
                     "mkey": t["mkey"].cast(pa.int64()),
                     "m_txt": t["m_txt"],
+                    "salt": t["salt"].cast(pa.int64()),
+                    "nsalt": pa.array(np.ones(n, dtype=np.int64)),
                 }
             )
 
@@ -1574,7 +1696,7 @@ def lsh_match_edges(
         )
         _bundle_n = bundle_for(n_left + n_right)
         verified = bucketed_group_map(
-            tagged, ["pkey"], _make_mset_verify(vocab_ref, config, cross),
+            tagged, ["pkey", "salt"], _make_mset_verify(vocab_ref, config, cross),
             bundle_rows=_bundle_n,
         )
         if _vmarks:

@@ -127,6 +127,21 @@ def test_lsh_join_mode_verify_salted_and_star(clip_ds):
         assert len(_edges_set(e_j)) >= 60 * 59 // 2 if emission == "clique" else True
 
 
+def test_lsh_join_mode_verify_anchor_salted(clip_ds, monkeypatch):
+    """Hot-anchor pair-space salting must not change the edge set: with the
+    salting threshold forced to ~everything, every anchor splits into
+    replicas whose pair-space filters partition the pairs exactly."""
+    monkeypatch.setenv("SGR_ANCHOR_SALT_MIN", "50")
+    base = dict(strategy="lsh", min_similarity=0.8, max_n_matches=None,
+                use_actor_pools=False)
+    e_b, vocab = match_edges(clip_ds, None, EngineConfig(**base))
+    e_j, _ = match_edges(
+        clip_ds, None, EngineConfig(**base, verify_broadcast_max_rows=0),
+        vocab=vocab,
+    )
+    assert _edges_set(e_b) == _edges_set(e_j)
+
+
 def test_lsh_join_mode_verify_huge_ids():
     """row_idx above 2^53 must survive the band-local verify exchanges
     EXACTLY: a nullable int64 column through a pandas bucket frame degrades
