@@ -611,22 +611,9 @@ class _ExplodeRefs:
         return pa.table({"pkey": pa.array(pkey[keep]), "mkey": pa.array(mkey[keep])})
 
 
-# unified row shape for the verify exchange: memberset rows (kind 0) and
-# member-text rows (kind 1) union into one dataset, co-bucketed on pkey
-_VERIFY_UNION_SCHEMA = pa.schema(
-    [
-        ("pkey", pa.int64()),
-        ("kind", pa.int8()),
-        ("mset_hash", pa.int64()),
-        ("l_members", pa.binary()),
-        ("r_members", pa.binary()),
-        ("l_sides", pa.binary()),
-        ("r_sides", pa.binary()),
-        ("mode", pa.int8()),
-        ("mkey", pa.int64()),
-        ("m_txt", pa.string()),
-    ]
-)
+# The verify exchange unions memberset rows (kind 0) and member-text rows
+# (kind 1) into one dataset co-bucketed on (pkey, salt); see _tag_msets /
+# _tag_refs in lsh_match_edges for the authoritative row shape.
 
 
 def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
