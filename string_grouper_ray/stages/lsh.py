@@ -690,35 +690,11 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
                 star,
             )
 
-        ns_col = ms["nsalt"].to_numpy(dtype=np.int64)
-        if (ns_col == 1).all():
-            a, b = _emit(ms)
-        else:
-            # hot-anchor replicas partition the PAIR SPACE: replica (K, j)
-            # of an nsalt=s anchor keeps only pairs whose canonical left
-            # member hashes to j — replicas are disjoint by construction,
-            # so no cross-salt duplicates survive to the global dedup
-            sl_col = ms["salt"].to_numpy(dtype=np.int64)
-            parts: List[Tuple[np.ndarray, np.ndarray]] = []
-            combo = ns_col * 128 + sl_col
-            for c in np.unique(combo):
-                sub = ms[combo == c]
-                pa_, pb_ = _emit(sub)
-                ns_i = int(c) // 128
-                if ns_i > 1 and len(pa_):
-                    keep_s = (
-                        _sm64(pa_.astype(np.uint64)) % np.uint64(ns_i)
-                    ) == np.uint64(int(c) % 128)
-                    pa_, pb_ = pa_[keep_s], pb_[keep_s]
-                parts.append((pa_, pb_))
-            a = np.concatenate([p[0] for p in parts])
-            b = np.concatenate([p[1] for p in parts])
-            if len(a):
-                order_ab = np.lexsort((b, a))
-                a, b = a[order_ab], b[order_ab]
-                uq = np.ones(len(a), dtype=bool)
-                uq[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-                a, b = a[uq], b[uq]
+        # pair emission is per-mset and pairs_from_mset_buffers dedups the
+        # whole frame; hot-anchor spreading happens UPSTREAM (msets of a hot
+        # anchor are salted into different buckets), so cross-salt duplicate
+        # pairs are collapsed by the global dedup_pairs after this stage
+        a, b = _emit(ms)
         t2 = _t.perf_counter()
         if not len(a):
             return empty
@@ -1345,9 +1321,10 @@ def lsh_match_edges(
         # mset is re-keyed to K = a(pkey). A cluster's cross-band msets then
         # share one bucket, so each text ships ~once and the in-bucket pair
         # dedup collapses cross-band repeats BEFORE the expensive kernels.
-        # Three narrow exchanges (X_a anchors+mset relabel, X_b ref relabel,
-        # X_c text attach) replace the old single attach exchange; each is
-        # ids-only except X_a's packed msets, and the verify exchange's
+        # Two exchanges (X_a anchors+mset relabel, then the mkey text
+        # attach) replace the old single attach exchange — member refs are
+        # re-derived from the RELABELED msets with a plain explode, so no
+        # ref-relabel join/exchange is needed — and the verify exchange's
         # text volume drops ~6×. K is ONLY a placement key — pair emission
         # and similarity never read it, so the edge set is unchanged (the
         # broadcast-equality tests pin this).
@@ -1390,36 +1367,41 @@ def lsh_match_edges(
                 }
             )
 
-        def _anchor_and_relabel(df: pd.DataFrame) -> pd.DataFrame:
+        _mset_schema = pa.schema(
+            [
+                ("pkey", pa.int64()),
+                ("mset_hash", pa.int64()),
+                ("l_members", pa.binary()),
+                ("r_members", pa.binary()),
+                ("l_sides", pa.binary()),
+                ("r_sides", pa.binary()),
+                ("mode", pa.int8()),
+            ]
+        )
+
+        def _anchor_and_relabel(df: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+            # output: relabeled mset rows only. The anchor map itself never
+            # leaves the bucket — member refs re-derive from the relabeled
+            # msets with a plain explode (no relabel join needed).
             is_ref = df["xkind"].to_numpy() == 0
             rf = df.loc[is_ref, ["rkey", "pkey"]]
             am = rf.groupby("rkey", sort=False)["pkey"].min().rename("_a").reset_index()
-            ms_ = df.loc[~is_ref].drop(columns=["rkey"])
-            if len(ms_):
-                # int64-exact relabel: inner merge + isin leftovers — a
-                # map/fillna would round ids above 2^53 through float64
-                hit = ms_.merge(
-                    am.rename(columns={"rkey": "pkey"}), on="pkey", how="inner"
-                )
-                hit["pkey"] = hit.pop("_a")
-                miss = ms_.loc[~ms_["pkey"].isin(am["rkey"])]
-                ms_ = pd.concat([hit, miss], ignore_index=True) if len(miss) else hit
-            arows = pd.DataFrame(
-                {
-                    "xkind": np.zeros(len(am), dtype=np.int8),
-                    "pkey": am["rkey"].to_numpy(dtype=np.int64),
-                    "mset_hash": am["_a"].to_numpy(dtype=np.int64),  # anchor value
-                    "l_members": [b""] * len(am),
-                    "r_members": [b""] * len(am),
-                    "l_sides": [b""] * len(am),
-                    "r_sides": [b""] * len(am),
-                    "mode": np.zeros(len(am), dtype=np.int8),
-                }
+            ms_ = df.loc[~is_ref].drop(columns=["rkey", "xkind"])
+            if not len(ms_):
+                # typed empty: an all-refs bucket through from_pandas would
+                # infer null-typed binary columns and break the union
+                return _mset_schema.empty_table()
+            # int64-exact relabel: inner merge + isin leftovers — a
+            # map/fillna would round ids above 2^53 through float64
+            hit = ms_.merge(
+                am.rename(columns={"rkey": "pkey"}), on="pkey", how="inner"
             )
-            ms_["xkind"] = np.ones(len(ms_), dtype=np.int8)
-            return pd.concat([arows, ms_[arows.columns.tolist()]], ignore_index=True)
+            hit["pkey"] = hit.pop("_a")
+            miss = ms_.loc[~ms_["pkey"].isin(am["rkey"])]
+            ms_ = pd.concat([hit, miss], ignore_index=True) if len(miss) else hit
+            return ms_[[f.name for f in _mset_schema]]
 
-        xa_out = bucketed_group_map(
+        msets = bucketed_group_map(
             refs0.map_batches(_xa_refs, batch_format="pyarrow").union(
                 msets.map_batches(_xa_msets, batch_format="pyarrow")
             ),
@@ -1427,28 +1409,29 @@ def lsh_match_edges(
             _anchor_and_relabel,
             bundle_rows=_bundle,
         ).materialize()
-        # anchors: (pkey = raw member id, anchor in mset_hash slot)
-        anchors = xa_out.filter(expr="xkind == 0").map_batches(
-            lambda t: pa.table({"pkey": t["pkey"], "anchor": t["mset_hash"]}),
-            batch_format="pyarrow",
-        )
-        msets = xa_out.filter(expr="xkind == 1").map_batches(
-            lambda t: t.drop_columns(["xkind"]), batch_format="pyarrow"
-        )
+        del refs0  # consumed by X_a only; the salted explode below re-derives refs
+        gc.collect()
         _tmark("anchor_relabel")
 
-        # ---- hot-anchor pair-space salting --------------------------------
+        # ---- hot-anchor mset salting ---------------------------------------
         # anchoring co-locates a whole near-dup family under one key, so a
         # giant family serializes its entire verify in ONE task (measured at
         # 2M rows: one bucket held 10.8M of 22.3M pairs, 31 s serial — and
         # family pair counts grow quadratically with rows). Census the
-        # estimated pair volume per anchor (Σ size² over its msets — an
-        # upper bound, fine for a placement decision), and split hot
-        # anchors' PAIR SPACE s ways: each (K, j) replica emits only pairs
-        # whose canonical left member hashes to j, so replicas partition the
-        # pair set exactly (no cross-salt duplicates) at the cost of
-        # shipping the hot anchors' texts s×. The census is a partial
-        # aggregate + a driver collect of hot keys only (bounded).
+        # estimated emission work per anchor (Σ size² over its msets — the
+        # actual per-task emission bill) and SPREAD a hot anchor's msets
+        # over s sub-buckets: salt = hash(mset_hash) % s. Pair emission is
+        # per-mset, so spreading msets spreads the work exactly; nothing is
+        # replicated (each mset, each member text ships to exactly the
+        # sub-buckets that hold its msets). Cross-salt duplicate pairs —
+        # near-identical msets of one family landing in different salts —
+        # survive to the global dedup_pairs below, at a bounded extra
+        # dot+dedup cost. (The previous design REPLICATED hot anchors' mset
+        # binaries and member refs nsalt× with a per-replica pair-space
+        # filter; at 2M rows the sum census × replication exploded the
+        # relabel/attach exchanges from ~4 s to 84 s + a >6-min stall.)
+        # The census is a partial aggregate + a driver collect of hot keys
+        # only (bounded).
         def _heat_partial(t: pa.Table) -> pa.Table:
             from ..functions.packing import unpack_binary_column
 
@@ -1466,7 +1449,7 @@ def lsh_match_edges(
 
         _salt_min = float(
             _os_env.environ.get("SGR_ANCHOR_SALT_MIN", "4000000")
-        )  # pairs per task before splitting (env override for tests/A-B)
+        )  # emission work per task before spreading (env override for tests/A-B)
         heat = _gba(
             msets.map_batches(_heat_partial, batch_format="pyarrow"),
             "pkey", "est", "sum", out_col="est",
@@ -1482,101 +1465,72 @@ def lsh_match_edges(
         }
         hot_ref2 = ray.put(hot_salt)
 
-        def _salt_cols(pk: np.ndarray) -> np.ndarray:
-            """Per-row nsalt via sorted-lookup into the hot-key map."""
-            hs = ray.get(hot_ref2)
-            ns = np.ones(len(pk), dtype=np.int64)
+        def _mset_salt(pk: np.ndarray, mh: np.ndarray) -> np.ndarray:
+            """Deterministic per-mset sub-bucket: hash(mset_hash) % nsalt for
+            hot anchors, 0 elsewhere. Identical band-copies of one memberset
+            share an mset_hash, so they land in the same sub-bucket and the
+            in-bucket pair dedup still collapses them before the dots."""
+            hs = ray.get(hot_ref2) if isinstance(hot_ref2, ray.ObjectRef) else hot_ref2
+            salt = np.zeros(len(pk), dtype=np.int64)
             if hs:
                 hk = np.array(sorted(hs), dtype=np.int64)
                 hv = np.array([hs[int(k)] for k in hk], dtype=np.int64)
                 pos = np.searchsorted(hk, pk)
                 ok = pos < len(hk)
                 ok[ok] = hk[pos[ok]] == pk[ok]
-                ns[ok] = hv[pos[ok]]
-            return ns
+                if ok.any():
+                    ns = hv[pos[ok]]
+                    salt[ok] = (
+                        _sm64(mh[ok].astype(np.uint64)) % ns.astype(np.uint64)
+                    ).astype(np.int64)
+            return salt
 
-        def _replicate_hot(t: pa.Table) -> pa.Table:
-            """Replicate rows with hot pkey nsalt× (salt = 0..nsalt-1);
-            cold rows pass through with salt=0, nsalt=1."""
-            pk = t["pkey"].to_numpy(zero_copy_only=False)
-            ns = _salt_cols(pk)
-            if (ns == 1).all():
-                n = len(t)
-                return t.append_column(
-                    "salt", pa.array(np.zeros(n, dtype=np.int64))
-                ).append_column("nsalt", pa.array(np.ones(n, dtype=np.int64)))
-            idx = np.repeat(np.arange(len(t), dtype=np.int64), ns)
-            salt = np.arange(len(idx), dtype=np.int64) - np.repeat(
-                np.cumsum(ns) - ns, ns
-            )
-            out = t.take(pa.array(idx))
-            return out.append_column("salt", pa.array(salt)).append_column(
-                "nsalt", pa.array(ns[idx])
-            )
+        # member refs for the attach union: a plain explode of the ALREADY
+        # relabeled msets (pkey = anchor K) — no relabel join/exchange. Each
+        # ref carries its mset's salt, so a member's text flows to exactly
+        # the sub-buckets that hold its msets.
+        def _explode_salted(t: pa.Table) -> pa.Table:
+            from ..functions.packing import unpack_binary_column
 
-        # X_b: relabel ref occurrences by anchor(pkey) — ids-only exchange
-        def _xb_refs(t: pa.Table) -> pa.Table:
-            n = len(t)
+            lv, lo = unpack_binary_column(t["l_members"], np.int64)
+            rv, ro = unpack_binary_column(t["r_members"], np.int64)
+            ls, _ = unpack_binary_column(t["l_sides"], np.int8)
+            rs, _ = unpack_binary_column(t["r_sides"], np.int8)
+            pk = t["pkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mh = t["mset_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            st = _mset_salt(pk, mh)
+            l_sizes = np.diff(lo)
+            r_sizes = np.diff(ro)
+            pkey = np.concatenate([np.repeat(pk, l_sizes), np.repeat(pk, r_sizes)])
+            salt = np.concatenate([np.repeat(st, l_sizes), np.repeat(st, r_sizes)])
+            member = np.concatenate([lv, rv]).astype(np.int64, copy=False)
+            side = np.concatenate([ls, rs]).astype(np.int64, copy=False)
+            mkey = member * 2 + side
+            order = np.lexsort((mkey, salt, pkey))
+            pkey, salt, mkey = pkey[order], salt[order], mkey[order]
+            keep = np.ones(len(pkey), dtype=bool)
+            keep[1:] = (
+                (pkey[1:] != pkey[:-1])
+                | (salt[1:] != salt[:-1])
+                | (mkey[1:] != mkey[:-1])
+            )
+            n = int(keep.sum())
             return pa.table(
                 {
-                    "pkey": t["pkey"],
-                    "bkind": pa.array(np.ones(n, dtype=np.int8)),
-                    "mkey": t["mkey"],
-                    "anchor": pa.array(np.zeros(n, dtype=np.int64)),
-                }
-            )
-
-        def _xb_anchors(t: pa.Table) -> pa.Table:
-            n = len(t)
-            return pa.table(
-                {
-                    "pkey": t["pkey"],
-                    "bkind": pa.array(np.zeros(n, dtype=np.int8)),
-                    "mkey": pa.array(np.zeros(n, dtype=np.int64)),
-                    "anchor": t["anchor"],
-                }
-            )
-
-        def _relabel_refs(df: pd.DataFrame) -> pd.DataFrame:
-            is_a = df["bkind"].to_numpy() == 0
-            am = df.loc[is_a, ["pkey", "anchor"]]
-            rf = df.loc[~is_a, ["pkey", "mkey"]]
-            hit = rf.merge(am, on="pkey", how="inner")
-            miss = rf.loc[~rf["pkey"].isin(am["pkey"])]
-            if len(miss):
-                miss = miss.assign(anchor=miss["pkey"].to_numpy())
-                hit = pd.concat([hit, miss], ignore_index=True)
-            out = hit[["anchor", "mkey"]].rename(columns={"anchor": "pkey"})
-            return out.drop_duplicates()
-
-        def _shape_ref(t: pa.Table) -> pa.Table:
-            # replicate hot-anchor refs across their salt range so every
-            # (K, j) verify bucket holds the member's text, then shape for
-            # the attach union
-            t = _replicate_hot(t)
-            return pa.table(
-                {
-                    "mkey": t["mkey"],
-                    "pkey": t["pkey"],
-                    "m_txt": pa.nulls(len(t), pa.string()),
+                    "mkey": pa.array(mkey[keep]),
+                    "pkey": pa.array(pkey[keep]),
+                    "m_txt": pa.nulls(n, pa.string()),
                     # int columns in this union carry NO nulls (kind
                     # discriminates instead): a nullable int64 through the
                     # pandas bucket frame degrades to float64 and silently
                     # rounds ids above 2^53 (user id_col values can be
                     # arbitrary int64 — see _ExplodeRefs' 2^62 contract)
-                    "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
-                    "salt": t["salt"],
+                    "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                    "salt": pa.array(salt[keep]),
                 }
             )
 
-        refs = bucketed_group_map(
-            refs0.map_batches(_xb_refs, batch_format="pyarrow").union(
-                anchors.map_batches(_xb_anchors, batch_format="pyarrow")
-            ),
-            ["pkey"],
-            _relabel_refs,
-            bundle_rows=_bundle,
-        ).map_batches(_shape_ref, batch_format="pyarrow")
+        refs = msets.map_batches(_explode_salted, batch_format="pyarrow")
 
         def _txt_keyed(src, side_tag: int):
             def fn(t: pa.Table) -> pa.Table:
@@ -1610,36 +1564,47 @@ def lsh_match_edges(
             return refs_.merge(texts, on="mkey", how="inner")
 
         # exchange strategy, MEASURED: the band-local verify chains three
-        # exchanges back-to-back (mkey text-attach → pkey co-bucket →
-        # verified-edge dedup); at 1M rows the three sort exchanges cost
-        # ~60 s wall against <5 s of UDF compute — all barrier mechanics.
-        # Ray 2.49's hash-shuffle alternative was tried and REJECTED here:
-        # each hash exchange spawns its own persistent aggregator ACTOR
-        # pool, and because these exchanges run chained inside one
-        # streaming execution (and DataContext.shuffle_strategy leaks to
-        # every downstream exchange in the lineage), ~100 aggregator
-        # processes end up live at once on a 32-CPU host — the 1M dist leg
-        # accrued 38 s of CPU in 7+ min of wall before being killed,
-        # vs ~2 min end-to-end for sort. Sort stays; the serial floor is
-        # priced in BENCH/BASELINE.md.
+        # sort exchanges (mkey text-attach → (pkey,salt) co-bucket →
+        # verified-edge dedup); at 1M rows the sort exchanges cost
+        # ~60 s wall against <5 s of UDF compute — all barrier
+        # mechanics. Ray 2.49's hash-shuffle alternative was tried and
+        # REJECTED here: each hash exchange spawns its own persistent
+        # aggregator ACTOR pool, and because these exchanges run chained
+        # inside one streaming execution (and DataContext.shuffle_strategy
+        # leaks to every downstream exchange in the lineage), ~100
+        # aggregator processes end up live at once on a 32-CPU host — the
+        # 1M dist leg accrued 38 s of CPU in 7+ min of wall before being
+        # killed, vs ~2 min end-to-end for sort. Sort stays; the serial
+        # floor is priced in BENCH/BASELINE.md.
+        # STAGING, MEASURED: running all four sorts inside ONE streaming
+        # execution livelocks at 2M rows — the executor splits its store
+        # budget across ~20 operators, the upstream map ops sit
+        # backpressured holding ~27 GB of queued blocks, and the map stage
+        # between sorts is granted 0 CPU for 15+ min (all workers idle,
+        # driver scheduling loop at 100%). A sort is a global barrier, so
+        # chaining buys no pipelining anyway: materialize each exchange
+        # (one sort per execution) and free the previous stage's blocks.
         # bundle sizing (58686c0's measured effect, applied to this chain):
-        # exchange 1 moves ~member-occurrence volume (≈ rows × bands), so
-        # the default 524k bundles would leave only ~50 reduce tasks at 2M
-        # rows — size to the row volume for ~8 blocks per CPU slot instead
+        # the attach exchange moves ~member-occurrence volume (≈ rows ×
+        # bands), so the default 524k bundles would leave only ~50 reduce
+        # tasks at 2M rows — size to the row volume for ~8 blocks per CPU
+        # slot instead
         refs_t = bucketed_group_map(
             refs.union(txts), ["mkey"], _dedup_and_attach, bundle_rows=_bundle
-        )
-        _vmarks = bool(_os_env.environ.get("SGR_VERIFY_MARKS"))
-        if _vmarks:  # diagnostic: isolate each verify exchange's wall
-            refs_t = refs_t.materialize()
-            _tmark("verify:attach_exchange")
+        ).materialize()
+        del refs
+        gc.collect()
+        _tmark("verify:attach_exchange")
+        if _tmark.enabled:
+            print(f"    [match] refs_t rows: {refs_t.count()}", flush=True)
 
         # 3. co-bucket membersets with their texts on (pkey, salt); verify
-        # in-task. Hot-anchor msets replicate with a per-replica pair-space
-        # filter (nsalt); cold rows ride with salt=0, nsalt=1.
+        # in-task. A hot anchor's msets spread over salt sub-buckets
+        # (salt = hash(mset_hash) % nsalt); cold rows ride with salt=0.
         def _tag_msets(t: pa.Table) -> pa.Table:
-            t = _replicate_hot(t)
             n = len(t)
+            pk = t["pkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mh = t["mset_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
                 {
                     "pkey": t["pkey"],
@@ -1654,8 +1619,7 @@ def lsh_match_edges(
                     # int64 → pandas float64 rounds ids above 2^53
                     "mkey": pa.array(np.zeros(n, dtype=np.int64)),
                     "m_txt": pa.nulls(n, pa.string()),
-                    "salt": t["salt"],
-                    "nsalt": t["nsalt"],
+                    "salt": pa.array(_mset_salt(pk, mh)),
                 }
             )
 
@@ -1674,7 +1638,6 @@ def lsh_match_edges(
                     "mkey": t["mkey"].cast(pa.int64()),
                     "m_txt": t["m_txt"],
                     "salt": t["salt"].cast(pa.int64()),
-                    "nsalt": pa.array(np.ones(n, dtype=np.int64)),
                 }
             )
 
@@ -1685,22 +1648,25 @@ def lsh_match_edges(
         verified = bucketed_group_map(
             tagged, ["pkey", "salt"], _make_mset_verify(vocab_ref, config, cross),
             bundle_rows=_bundle_n,
-        )
-        if _vmarks:
-            verified = verified.materialize()
-            _tmark("verify:inbucket_exchange")
+        ).materialize()
+        # free the widest intermediates (packed msets + text-carrying refs)
+        # before the dedup/top-N/CC stages
+        del tagged, refs_t, msets
+        gc.collect()
+        _tmark("verify:inbucket_exchange")
         # cross-bucket pair dedup: similarities are bit-identical wherever a
         # pair was verified (same texts, same encoder), so keep-first is safe
         verified = dedup_pairs(
             verified, ["left_idx", "right_idx"], bundle_rows=_bundle_n
-        )
-        if _vmarks:
-            verified = verified.materialize()
-            _tmark("verify:dedup_exchange")
+        ).materialize()
+        _tmark("verify:dedup_exchange")
 
     # 6. mirror (self-join pairs were canonicalized) + per-left top-N
     if not cross:
-        verified = verified.materialize()  # consumed twice (self + mirror)
+        from ray.data.dataset import MaterializedDataset
+
+        if not isinstance(verified, MaterializedDataset):
+            verified = verified.materialize()  # consumed twice (self + mirror)
         _tmark("verify")
         if _os_env.environ.get("SGR_STATS"):
             print(verified.stats(), flush=True)
