@@ -53,21 +53,29 @@ class NGramTokenizer:
         n = self.config.ngram_size
         return [s[i : i + n] for i in range(len(s) - n + 1)]
 
-    def ngrams_batch(self, strings: Sequence[str]) -> List[List[str]]:
-        """Per-batch tokenization; one compiled-regex pass per string."""
-        n = self.config.ngram_size
+    def normalized_batch(self, strings: Sequence[str]) -> List[str]:
+        """Normalization only (lower / NFKD→ASCII / regex strip), no gram
+        slicing — the vectorized encoder extracts grams from the packed
+        bytes of these strings instead of materializing Python slices."""
         sub = self._pattern.sub
         lower = self.config.ignore_case
         ascii_ = self.config.normalize_to_ascii
-        out: List[List[str]] = []
+        out: List[str] = []
         for s in strings:
             if lower and s is not None:
                 s = s.lower()
             if ascii_:
                 s = _unicode_normalize("NFKD", s).encode("ASCII", "ignore").decode()
-            s = sub("", s)
-            out.append([s[i : i + n] for i in range(len(s) - n + 1)])
+            out.append(sub("", s))
         return out
+
+    def ngrams_batch(self, strings: Sequence[str]) -> List[List[str]]:
+        """Per-batch tokenization; one compiled-regex pass per string."""
+        n = self.config.ngram_size
+        return [
+            [s[i : i + n] for i in range(len(s) - n + 1)]
+            for s in self.normalized_batch(strings)
+        ]
 
     def shingle_hashes_batch(self, strings: Sequence[str]) -> List[np.ndarray]:
         """Distinct shingle hashes per string, as uint64 arrays.

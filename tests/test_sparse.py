@@ -130,3 +130,47 @@ def test_empty_string_rows():
     assert csr.indptr[1] == 0 and csr.indptr[2] == 0  # no ngrams
     l, r, s = topn_multiply(csr, Postings.from_csr(csr), threshold=0.0, topn=20)
     assert set(l.tolist()) == {2}
+
+
+def test_vectorized_encoder_equals_loop_encoder():
+    """The ASCII fast path (packed-key / dense-trigram lookup) must produce
+    the identical CSR structure and ≤1-ulp weights vs the per-gram loop
+    encoder, across empty / short / repeated-gram / punctuation rows and
+    both ngram sizes (3 = dense-table route, 5 = packed-key route)."""
+    import random
+    import string as st
+
+    from string_grouper_ray.stages.vectorize import TfidfEncoder
+
+    rng = random.Random(7)
+    texts = [
+        "".join(rng.choices(st.ascii_uppercase + st.digits + " .,&-", k=rng.randint(5, 90)))
+        for _ in range(500)
+    ]
+    texts += ["", "ab", "abc", "aaaaaaa", "ACME Corp., Ltd.", "  x  y  z  "]
+    for n in (3, 5):
+        cfg = EngineConfig(ngram_size=n)
+        tok = NGramTokenizer(cfg)
+        vocab = fit_vocabulary_local([texts], cfg)
+        ref = encode_tfidf(tok.ngrams_batch(texts), vocab)
+        fast = TfidfEncoder(vocab, cfg).encode_batch(texts)
+        assert np.array_equal(ref.indptr, fast.indptr)
+        assert np.array_equal(ref.indices, fast.indices)
+        if len(ref.data):
+            assert float(np.abs(ref.data - fast.data).max()) < 1e-15
+
+
+def test_vectorized_encoder_non_ascii_fallback():
+    """With normalize_to_ascii=False and non-ASCII rows, encode_batch must
+    fall back to the loop path and still match it exactly."""
+    from string_grouper_ray.stages.vectorize import TfidfEncoder
+
+    cfg = EngineConfig(normalize_to_ascii=False)
+    tok = NGramTokenizer(cfg)
+    texts = ["café au lait", "ümlaut straße", "plain ascii row", "naïve"]
+    vocab = fit_vocabulary_local([texts], cfg)
+    ref = encode_tfidf(tok.ngrams_batch(texts), vocab)
+    fast = TfidfEncoder(vocab, cfg).encode_batch(texts)
+    assert np.array_equal(ref.indptr, fast.indptr)
+    assert np.array_equal(ref.indices, fast.indices)
+    assert np.array_equal(ref.data, fast.data)
