@@ -1432,6 +1432,16 @@ def lsh_match_edges(
         # relabel/attach exchanges from ~4 s to 84 s + a >6-min stall.)
         # The census is a partial aggregate + a driver collect of hot keys
         # only (bounded).
+        # the census must estimate the EMISSION the verify task will actually
+        # run, which depends on the emission mode: under star, msets larger
+        # than the 16-member clique cutoff emit 2(s-1) spanning pairs, not
+        # s(s-1)/2 — pricing them quadratically over-salts by orders of
+        # magnitude, spreading a family's near-identical msets across salt
+        # sub-buckets where the in-bucket pair dedup can no longer collapse
+        # them (measured at 2M rows: 45.7M candidate dots vs ~22M co-located,
+        # plus ~2x text shipping)
+        _star_est = config.lsh_pair_emission == "star" and not cross
+
         def _heat_partial(t: pa.Table) -> pa.Table:
             from ..functions.packing import unpack_binary_column
 
@@ -1439,6 +1449,8 @@ def lsh_match_edges(
             _, ro = unpack_binary_column(t["r_members"], np.int64)
             sz = (np.diff(lo) + np.diff(ro)).astype(np.float64)
             est = sz * (sz - 1.0) / 2.0
+            if _star_est:
+                est = np.where(sz <= 16.0, est, 2.0 * (sz - 1.0))
             pk = t["pkey"].to_numpy(zero_copy_only=False)
             uk, inv_ = np.unique(pk, return_inverse=True)
             return pa.table(
