@@ -44,12 +44,66 @@ class _PartialDocFreq:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
+        empty = pa.table({"ngram": pa.array([], type=pa.string()),
+                          "df": pa.array([], type=pa.int64())})
+        cfg = self.tokenizer.config
+        n = cfg.ngram_size
+        normed = self.tokenizer.normalized_batch(texts)
+        if n <= 7 and (cfg.normalize_to_ascii or all(s.isascii() for s in normed)):
+            # vectorized distinct-per-doc count: pack every length-n ASCII
+            # window into a uint64 key (same packing as the encoder's fast
+            # path), dedup (row, key) pairs, then run-length count per key.
+            # Key→string decode runs only per DISTINCT gram per batch.
+            blob = "".join(normed).encode("ascii")
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            nrows = len(normed)
+            lens = np.fromiter((len(s) for s in normed), dtype=np.int64, count=nrows)
+            gl = np.maximum(lens - n + 1, 0)
+            total = len(arr) - n + 1
+            if nrows == 0 or total <= 0 or not gl.any():
+                return empty
+            offs = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            key_all = np.zeros(total, dtype=np.uint64)
+            for j in range(n):
+                key_all <<= np.uint64(8)
+                key_all |= arr[j : total + j].astype(np.uint64)
+            nz = gl > 0
+            gl_nz = gl[nz]
+            base = np.zeros(len(gl_nz), dtype=np.int64)
+            np.cumsum(gl_nz[:-1], out=base[1:])
+            pos = (
+                np.arange(int(gl_nz.sum()), dtype=np.int64)
+                - np.repeat(base, gl_nz)
+                + np.repeat(offs[:-1][nz], gl_nz)
+            )
+            rows = np.repeat(np.flatnonzero(nz), gl_nz)
+            keys = key_all[pos]
+            order = np.lexsort((keys, rows))
+            rows, keys = rows[order], keys[order]
+            keep = np.ones(len(rows), dtype=bool)
+            keep[1:] = (rows[1:] != rows[:-1]) | (keys[1:] != keys[:-1])
+            dk = np.sort(keys[keep])
+            bound = np.ones(len(dk), dtype=bool)
+            bound[1:] = dk[1:] != dk[:-1]
+            starts = np.flatnonzero(bound)
+            uniq = dk[starts]
+            dfs = np.diff(np.append(starts, len(dk)))
+            # unpack keys back to gram strings (one decode, n-char slices)
+            chars = np.empty((len(uniq), n), dtype=np.uint8)
+            for j in range(n):
+                chars[:, n - 1 - j] = ((uniq >> np.uint64(8 * j)) & np.uint64(0xFF)).astype(np.uint8)
+            big = chars.tobytes().decode("ascii")
+            grams = [big[i * n : (i + 1) * n] for i in range(len(uniq))]
+            return pa.table({
+                "ngram": pa.array(grams, type=pa.string()),
+                "df": pa.array(dfs.astype(np.int64)),
+            })
         counter: Counter = Counter()
-        for grams in self.tokenizer.ngrams_batch(texts):
-            counter.update(set(grams))  # distinct per doc → document frequency
+        for s in normed:
+            counter.update({s[i : i + n] for i in range(len(s) - n + 1)})
         if not counter:
-            return pa.table({"ngram": pa.array([], type=pa.string()),
-                             "df": pa.array([], type=pa.int64())})
+            return empty
         return pa.table({
             "ngram": pa.array(list(counter.keys()), type=pa.string()),
             "df": pa.array(list(counter.values()), type=pa.int64()),

@@ -80,10 +80,43 @@ class MinHashBander:
         self.text_col = text_col
 
     def signatures(self, texts: List[str]) -> np.ndarray:
-        """(n, num_perm) uint64 signature matrix."""
-        out = np.empty((len(texts), self.config.num_perm), dtype=np.uint64)
-        for i, sh in enumerate(self.tokenizer.shingle_hashes_batch(texts)):
-            out[i] = minhash_signature(sh, self.a, self.b)
+        """(n, num_perm) uint64 signature matrix.
+
+        Batched: all rows' shingles hash through ONE (shingles × perms)
+        product per ~1M-element chunk, with per-row minima via
+        ``np.minimum.reduceat`` — min is order-independent, so this is
+        bit-identical to the per-row :func:`minhash_signature` (pinned by
+        ``test_batched_signatures_match_per_row``). Chunking caps the
+        intermediate at chunk × num_perm × 8 B (~1 GB unchunked at a
+        130k-text batch)."""
+        shl = self.tokenizer.shingle_hashes_batch(texts)
+        n = len(texts)
+        num_perm = self.config.num_perm
+        out = np.full((n, num_perm), _MERSENNE_61, dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in shl), dtype=np.int64, count=n)
+        nzr = np.flatnonzero(lens > 0)
+        if not len(nzr):
+            return out
+        flat = np.concatenate([shl[i] for i in nzr]) & _MERSENNE_61
+        lens_nz = lens[nzr]
+        starts = np.zeros(len(nzr), dtype=np.int64)
+        np.cumsum(lens_nz[:-1], out=starts[1:])
+        chunk = max(1, 1_000_000 // max(1, num_perm) * 8)
+        with np.errstate(over="ignore"):
+            r0 = 0
+            while r0 < len(nzr):
+                r1 = r0 + 1
+                while (
+                    r1 < len(nzr)
+                    and starts[r1] + lens_nz[r1] - starts[r0] <= chunk
+                ):
+                    r1 += 1
+                s0, s1 = starts[r0], starts[r1 - 1] + lens_nz[r1 - 1]
+                hashed = (flat[s0:s1, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE_61
+                out[nzr[r0:r1]] = np.minimum.reduceat(
+                    hashed, starts[r0:r1] - s0, axis=0
+                )
+                r0 = r1
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

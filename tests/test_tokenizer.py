@@ -56,3 +56,40 @@ def test_shingle_hashes_distinct_and_deterministic():
     assert sorted(h1.tolist()) == sorted(h2.tolist())
     # distinct shingles only: 'abcabcabc' has shingles abc,bca,cab repeated
     assert len(h1) == 3
+
+
+def test_shingle_fast_path_matches_scalar_fnv():
+    """The vectorized ASCII shingle path must be bit-identical to the
+    scalar FNV-1a over each normalized gram, sorted ascending — including
+    empty/short rows and the non-ASCII fallback."""
+    from string_grouper_ray.text import _fnv1a_64
+
+    cfg = EngineConfig()
+    tok = NGramTokenizer(cfg)
+    texts = ["hello world", "", "ab", "abc", "aaaaaa", "ACME Corp., Ltd.",
+             "café naïve", "ümlaut Straße", "abcabcabc"]
+    got = tok.shingle_hashes_batch(texts)
+    n = cfg.ngram_size
+    for s, h in zip(tok.normalized_batch(texts), got):
+        want = sorted({_fnv1a_64(s[i : i + n]) for i in range(len(s) - n + 1)})
+        assert h.tolist() == want
+
+    cfg2 = EngineConfig(normalize_to_ascii=False)
+    tok2 = NGramTokenizer(cfg2)
+    got2 = tok2.shingle_hashes_batch(texts)  # non-ascii rows force fallback
+    for s, h in zip(tok2.normalized_batch(texts), got2):
+        want = sorted({_fnv1a_64(s[i : i + n]) for i in range(len(s) - n + 1)})
+        assert h.tolist() == want
+
+
+def test_batched_signatures_match_per_row():
+    from string_grouper_ray.stages.minhash import (
+        MinHashBander, minhash_signature)
+
+    cfg = EngineConfig()
+    b = MinHashBander(cfg)
+    texts = ["the quick brown fox", "", "ab", "jumps over the lazy dog",
+             "the quick brown fox", "x" * 300]
+    sigs = b.signatures(texts)
+    for i, sh in enumerate(b.tokenizer.shingle_hashes_batch(texts)):
+        assert np.array_equal(sigs[i], minhash_signature(sh, b.a, b.b))
