@@ -641,60 +641,57 @@ def _make_mset_verify(vocab_ref, config: EngineConfig, cross: bool):
     _noop = bool(_osv.environ.get("SGR_VERIFY_NOOP"))  # diagnostic only
     _timing = bool(_osv.environ.get("SGR_VERIFY_TIMING"))  # diagnostic only
 
-    def verify_bucket(df: pd.DataFrame) -> pa.Table:
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        # ARROW bucket (bucket_format="pyarrow"): the tagged union carries
+        # text strings + packed-binary membersets, and a pandas bucket frame
+        # boxes every one of those values into a Python object before the
+        # UDF even starts (measured: the dominant cost of this exchange).
+        # Arrow slices stay zero-copy; only the texts that feed the encoder
+        # are materialized as Python strings (the encoder needs them anyway).
         import time as _t
 
+        from ..functions.packing import unpack_binary_column
         from ..sparse import pair_dots
 
         if _noop:
             return empty
         t0 = _t.perf_counter()
-        kind = df["kind"].to_numpy()
-        tr = df[kind == 1]
-        ms = df[kind == 0]
-        if not len(ms) or not len(tr):
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        txt_mask = kind == 1
+        n_txt = int(txt_mask.sum())
+        n_ms = len(t) - n_txt
+        if not n_ms or not n_txt:
             return empty
-        mk = tr["mkey"].to_numpy(dtype=np.int64)
+        tr_idx = np.flatnonzero(txt_mask)
+        mk = t["mkey"].to_numpy(zero_copy_only=False)[tr_idx]
         order = np.argsort(mk, kind="stable")
         mk_sorted = mk[order]
-        txt_list = tr["m_txt"].to_numpy()[order].tolist()
+        txt_list = (
+            t["m_txt"].take(pa.array(tr_idx[order], type=pa.int64())).to_pylist()
+        )
         t1 = _t.perf_counter()
 
-        # pair emission over the bucket's membersets: rebuild the packed
-        # buffers from the pandas object columns (one C-level join + length
-        # scan per column) and run the SAME vectorized kernel as the
-        # broadcast path — canonical, deduped (a, b) come back, so a pair
-        # re-found by many of this cluster's membersets is verified once
-        def _pack(col: np.ndarray, width: int) -> Tuple[np.ndarray, np.ndarray]:
-            lens = np.fromiter(
-                (len(x) for x in col), dtype=np.int64, count=len(col)
-            ) // width
-            off = np.zeros(len(col) + 1, dtype=np.int64)
-            np.cumsum(lens, out=off[1:])
-            return b"".join(col), off
-
-        def _emit(sub: pd.DataFrame) -> Tuple[np.ndarray, np.ndarray]:
-            l_blob, loff = _pack(sub["l_members"].to_numpy(), 8)
-            r_blob, roff = _pack(sub["r_members"].to_numpy(), 8)
-            ls_blob, _ = _pack(sub["l_sides"].to_numpy(), 1)
-            rs_blob, _ = _pack(sub["r_sides"].to_numpy(), 1)
-            return pairs_from_mset_buffers(
-                np.frombuffer(l_blob, dtype=np.int64),
-                loff,
-                np.frombuffer(r_blob, dtype=np.int64),
-                roff,
-                np.frombuffer(ls_blob, dtype=np.int8),
-                np.frombuffer(rs_blob, dtype=np.int8),
-                sub["mode"].to_numpy(dtype=np.int8),
-                cross,
-                star,
-            )
-
+        # pair emission over the bucket's membersets: the packed buffers come
+        # straight off the Arrow binary columns (zero-copy) and run the SAME
+        # vectorized kernel as the broadcast path — canonical, deduped (a, b)
+        # come back, so a pair re-found by many of this cluster's membersets
+        # is verified once.
         # pair emission is per-mset and pairs_from_mset_buffers dedups the
         # whole frame; hot-anchor spreading happens UPSTREAM (msets of a hot
         # anchor are salted into different buckets), so cross-salt duplicate
         # pairs are collapsed by the global dedup_pairs after this stage
-        a, b = _emit(ms)
+        ms = t.select(
+            ["l_members", "r_members", "l_sides", "r_sides", "mode"]
+        ).filter(pa.array(~txt_mask))
+        lv, lo = unpack_binary_column(ms["l_members"], np.int64)
+        rv, ro = unpack_binary_column(ms["r_members"], np.int64)
+        ls, _ = unpack_binary_column(ms["l_sides"], np.int8)
+        rs, _ = unpack_binary_column(ms["r_sides"], np.int8)
+        a, b = pairs_from_mset_buffers(
+            lv, lo, rv, ro, ls, rs,
+            ms["mode"].to_numpy(zero_copy_only=False).astype(np.int8),
+            cross, star,
+        )
         t2 = _t.perf_counter()
         if not len(a):
             return empty
@@ -1379,27 +1376,48 @@ def lsh_match_edges(
             ]
         )
 
-        def _anchor_and_relabel(df: pd.DataFrame) -> "pd.DataFrame | pa.Table":
+        def _anchor_and_relabel(t: pa.Table) -> pa.Table:
             # output: relabeled mset rows only. The anchor map itself never
             # leaves the bucket — member refs re-derive from the relabeled
             # msets with a plain explode (no relabel join needed).
-            is_ref = df["xkind"].to_numpy() == 0
-            rf = df.loc[is_ref, ["rkey", "pkey"]]
-            am = rf.groupby("rkey", sort=False)["pkey"].min().rename("_a").reset_index()
-            ms_ = df.loc[~is_ref].drop(columns=["rkey", "xkind"])
-            if not len(ms_):
-                # typed empty: an all-refs bucket through from_pandas would
-                # infer null-typed binary columns and break the union
+            # ARROW bucket: the mset rows carry packed-binary columns a
+            # pandas frame would box per value; the relabel itself is a
+            # per-rkey min (lexsort + reduceat) + searchsorted — int64-exact
+            # throughout (no float64 map/fillna path for ids above 2^53).
+            is_ref = t["xkind"].to_numpy(zero_copy_only=False) == 0
+            n_ref = int(is_ref.sum())
+            if n_ref == len(t):
                 return _mset_schema.empty_table()
-            # int64-exact relabel: inner merge + isin leftovers — a
-            # map/fillna would round ids above 2^53 through float64
-            hit = ms_.merge(
-                am.rename(columns={"rkey": "pkey"}), on="pkey", how="inner"
+            pk_all = t["pkey"].to_numpy(zero_copy_only=False)
+            ms_mask = ~is_ref
+            ms_idx = np.flatnonzero(ms_mask)
+            ms_pk = pk_all[ms_idx]
+            new_pk = ms_pk
+            if n_ref:
+                rk = t["rkey"].to_numpy(zero_copy_only=False)[is_ref]
+                rpk = pk_all[is_ref]
+                ro_ = np.lexsort((rpk, rk))
+                rk, rpk = rk[ro_], rpk[ro_]
+                starts = np.ones(len(rk), dtype=bool)
+                starts[1:] = rk[1:] != rk[:-1]
+                a_keys = rk[starts]  # sorted distinct rkeys
+                a_vals = rpk[starts]  # min pkey per rkey (lexsort order)
+                pos = np.searchsorted(a_keys, ms_pk)
+                ok = pos < len(a_keys)
+                ok[ok] = a_keys[pos[ok]] == ms_pk[ok]
+                new_pk = np.where(ok, a_vals[np.minimum(pos, len(a_keys) - 1)], ms_pk)
+            sel = pa.array(ms_idx, type=pa.int64())
+            return pa.table(
+                {
+                    "pkey": pa.array(new_pk.astype(np.int64)),
+                    "mset_hash": t["mset_hash"].take(sel),
+                    "l_members": t["l_members"].take(sel),
+                    "r_members": t["r_members"].take(sel),
+                    "l_sides": t["l_sides"].take(sel),
+                    "r_sides": t["r_sides"].take(sel),
+                    "mode": t["mode"].take(sel),
+                }
             )
-            hit["pkey"] = hit.pop("_a")
-            miss = ms_.loc[~ms_["pkey"].isin(am["rkey"])]
-            ms_ = pd.concat([hit, miss], ignore_index=True) if len(miss) else hit
-            return ms_[[f.name for f in _mset_schema]]
 
         msets = bucketed_group_map(
             refs0.map_batches(_xa_refs, batch_format="pyarrow").union(
@@ -1408,6 +1426,7 @@ def lsh_match_edges(
             ["rkey"],
             _anchor_and_relabel,
             bundle_rows=_bundle,
+            bucket_format="pyarrow",
         ).materialize()
         del refs0  # consumed by X_a only; the salted explode below re-derives refs
         gc.collect()
@@ -1569,11 +1588,51 @@ def lsh_match_edges(
         if cross:
             txts = txts.union(_txt_keyed(right, 1))
 
-        def _dedup_and_attach(df: pd.DataFrame) -> pd.DataFrame:
-            is_txt = df["kind"].to_numpy() == 1
-            texts = df.loc[is_txt, ["mkey", "m_txt"]]
-            refs_ = df.loc[~is_txt, ["pkey", "salt", "mkey"]].drop_duplicates()
-            return refs_.merge(texts, on="mkey", how="inner")
+        _attach_schema = pa.schema(
+            [
+                ("pkey", pa.int64()),
+                ("salt", pa.int64()),
+                ("mkey", pa.int64()),
+                ("m_txt", pa.string()),
+            ]
+        )
+
+        def _dedup_and_attach(t: pa.Table) -> pa.Table:
+            # ARROW bucket: text values ride as Arrow strings end-to-end —
+            # a pandas bucket frame would box every text into a Python
+            # object before the UDF starts. Join = sort texts by mkey +
+            # searchsorted from the deduped refs (inner semantics).
+            is_txt = t["kind"].to_numpy(zero_copy_only=False) == 1
+            tr_idx = np.flatnonzero(is_txt)
+            if not len(tr_idx) or len(tr_idx) == len(t):
+                return _attach_schema.empty_table()
+            mk_all = t["mkey"].to_numpy(zero_copy_only=False)
+            tmk = mk_all[tr_idx]
+            torder = np.argsort(tmk, kind="stable")
+            tmk_sorted = tmk[torder]
+            rmask = ~is_txt
+            pk = t["pkey"].to_numpy(zero_copy_only=False)[rmask]
+            st = t["salt"].to_numpy(zero_copy_only=False)[rmask]
+            rk = mk_all[rmask]
+            order = np.lexsort((rk, st, pk))
+            pk, st, rk = pk[order], st[order], rk[order]
+            keep = np.ones(len(pk), dtype=bool)
+            keep[1:] = (
+                (pk[1:] != pk[:-1]) | (st[1:] != st[:-1]) | (rk[1:] != rk[:-1])
+            )
+            pk, st, rk = pk[keep], st[keep], rk[keep]
+            pos = np.searchsorted(tmk_sorted, rk)
+            ok = pos < len(tmk_sorted)
+            ok[ok] = tmk_sorted[pos[ok]] == rk[ok]
+            if not ok.all():  # inner-join semantics: drop text-less refs
+                pk, st, rk, pos = pk[ok], st[ok], rk[ok], pos[ok]
+            txt = t["m_txt"].take(
+                pa.array(tr_idx[torder][pos], type=pa.int64())
+            )
+            return pa.table(
+                {"pkey": pa.array(pk), "salt": pa.array(st),
+                 "mkey": pa.array(rk), "m_txt": txt}
+            )
 
         # exchange strategy, MEASURED: the band-local verify chains three
         # sort exchanges (mkey text-attach → (pkey,salt) co-bucket →
@@ -1602,7 +1661,8 @@ def lsh_match_edges(
         # tasks at 2M rows — size to the row volume for ~8 blocks per CPU
         # slot instead
         refs_t = bucketed_group_map(
-            refs.union(txts), ["mkey"], _dedup_and_attach, bundle_rows=_bundle
+            refs.union(txts), ["mkey"], _dedup_and_attach, bundle_rows=_bundle,
+            bucket_format="pyarrow",
         ).materialize()
         del refs
         gc.collect()
@@ -1659,7 +1719,7 @@ def lsh_match_edges(
         _bundle_n = bundle_for(n_left + n_right)
         verified = bucketed_group_map(
             tagged, ["pkey", "salt"], _make_mset_verify(vocab_ref, config, cross),
-            bundle_rows=_bundle_n,
+            bundle_rows=_bundle_n, bucket_format="pyarrow",
         ).materialize()
         # free the widest intermediates (packed msets + text-carrying refs)
         # before the dedup/top-N/CC stages

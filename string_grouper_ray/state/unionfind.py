@@ -207,13 +207,27 @@ def _cc_distributed(
     Terminates when sum(labels) stops decreasing (labels only decrease).
     Joins use functions.joins.shuffle_join (bucketed hash join).
     """
+    import os as _os
+    import time as _time
+
     from ..functions.joins import shuffle_join
 
+    _prof = bool(_os.environ.get("SGR_PROFILE"))
+    _t0 = _time.perf_counter()
+
+    def _mark(label: str) -> None:
+        nonlocal _t0
+        if _prof:
+            t = _time.perf_counter()
+            print(f"    [cc] {label}: {t - _t0:.1f}s", flush=True)
+            _t0 = t
+
     n_edges = edges.count()
-    for _ in range(3):
+    for _ci in range(3):
         contracted = spanning_forest_contract(edges).materialize()
         n_after = contracted.count()
         edges = contracted
+        _mark(f"contract[{_ci}] {n_edges}->{n_after}")
         if n_after >= n_edges / 1.5:
             break
         n_edges = n_after
@@ -233,6 +247,7 @@ def _cc_distributed(
         return t.filter(pc.not_equal(t["left_idx"], t["right_idx"]))
 
     both = fwd.union(bwd).map_batches(drop_diag, batch_format="pyarrow").materialize()
+    _mark("labels+both setup")
 
     prev_sum = None
     for _round in range(64):  # backstop; converges in O(log n)
@@ -282,6 +297,7 @@ def _cc_distributed(
 
         labels = jumped.map_batches(shortcut, batch_format="pyarrow").materialize()
         cur_sum = labels.sum("label")
+        _mark(f"round[{_round}] sum={cur_sum}")
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
