@@ -184,32 +184,86 @@ def _cc_driver(
     )
 
 
+_EDGE_SCHEMA = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
+
+
+def _star_bucket(t: pa.Table, large: bool) -> pa.Table:
+    """One alternating-star operation over a hash bucket of edges.
+
+    Input rows are (left_idx=group key u, right_idx=neighbor v); the bucket
+    holds EVERY row of each u hashed into it. Per group:
+      m = min(Γ(u) ∪ {u})
+      large-star: emit (m, v) for v ∈ Γ(u), v > u
+      small-star: emit (m, x) for x ∈ Γ(u) ∪ {u}, x ≠ m
+    All numpy: lexsort + reduceat segment mins; output deduped in-bucket.
+    """
+    u = t["left_idx"].to_numpy(zero_copy_only=False)
+    v = t["right_idx"].to_numpy(zero_copy_only=False)
+    if not len(u):
+        return _EDGE_SCHEMA.empty_table()
+    order = np.lexsort((v, u))
+    u = u[order]
+    v = v[order]
+    starts = np.ones(len(u), dtype=bool)
+    starts[1:] = u[1:] != u[:-1]
+    seg = np.flatnonzero(starts)
+    m = np.minimum(np.minimum.reduceat(v, seg), u[seg])
+    mv = m[np.cumsum(starts) - 1]  # per-row group min
+    if large:
+        keep = v > u
+        l_out, r_out = mv[keep], v[keep]
+    else:
+        keep = v != mv
+        l_out = np.concatenate([mv[keep], m])
+        r_out = np.concatenate([v[keep], u[seg]])
+        nz = l_out != r_out
+        l_out, r_out = l_out[nz], r_out[nz]
+    if not len(l_out):
+        return _EDGE_SCHEMA.empty_table()
+    o = np.lexsort((r_out, l_out))
+    l_out, r_out = l_out[o], r_out[o]
+    keep = np.ones(len(l_out), dtype=bool)
+    keep[1:] = (l_out[1:] != l_out[:-1]) | (r_out[1:] != r_out[:-1])
+    return pa.table(
+        {
+            "left_idx": pa.array(l_out[keep].astype(np.int64)),
+            "right_idx": pa.array(r_out[keep].astype(np.int64)),
+        }
+    )
+
+
 def _cc_distributed(
     edges: "ray.data.Dataset", nodes: "ray.data.Dataset", config: EngineConfig
 ) -> "ray.data.Dataset":
-    """Min-label propagation with pointer jumping, all Dataset ops.
+    """Alternating large-star / small-star contraction, all Dataset ops.
 
     Edge-volume reduction FIRST: repeated map-parallel spanning-forest
     contraction (one bucketed exchange per round) replaces the verified
     edge list with per-partition spanning forests — connectivity-exact and
-    ≤ one edge per non-root node, so the O(log n) label-prop rounds below
-    join against ≤ |nodes| tree edges instead of ALL verified edges (which
-    on dup-heavy corpora are many × |nodes|). Contraction repeats while it
-    keeps shrinking the set ≥ 1.5× (round 2 rebuckets the rewritten
-    (root, node) star edges, collapsing chains that round 1 split across
-    partitions).
+    ≤ one edge per non-root node, so the star rounds below operate on
+    ≤ |nodes| tree edges instead of ALL verified edges (which on dup-heavy
+    corpora are many × |nodes|). Contraction repeats while it keeps
+    shrinking the set ≥ 1.5×.
 
-    Round structure of the propagation (shuffle keys in parentheses):
-      1. msg = edges ⋈ labels on left_idx → (right_idx, label)   (join: node)
-         plus the mirrored direction
-      2. labels' = min over {msg, labels}                        (groupby: node)
-      3. pointer jump: node→L ⋈ L→L2 → node→L2                   (join: label)
-    Terminates when sum(labels) stops decreasing (labels only decrease).
-    Joins use functions.joins.shuffle_join (bucketed hash join).
+    Propagation is the alternating algorithm of Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" (SoCC 2014 — public):
+    repeat {large-star; small-star} until the edge set stops changing; at
+    the fixpoint the edges are exactly stars rooted at each component's
+    MINIMUM node id (our canonical label). Each operation is ONE bucketed
+    group exchange over the edge list — vs three exchanges per round
+    (edge⋈label join, groupby-min, pointer-jump join) for the min-label
+    propagation it replaces, which measured 11 rounds × ~4 s at 2M rows
+    while the star loop converges in a handful of single-exchange rounds.
+    Convergence test: the (count, Σleft, Σright) triple of the edge set is
+    unchanged across a full large+small iteration (the multiset is
+    non-increasing toward the fixpoint; a changed multiset with identical
+    count AND both int64 sums is not a realistic collision), with a
+    64-iteration backstop.
     """
     import os as _os
     import time as _time
 
+    from ..functions.grouped import bucketed_group_map, groupby_agg
     from ..functions.joins import shuffle_join
 
     _prof = bool(_os.environ.get("SGR_PROFILE"))
@@ -232,76 +286,83 @@ def _cc_distributed(
             break
         n_edges = n_after
 
-    labels = nodes.select_columns(["row_idx"]).map_batches(
-        lambda t: pa.table({"node": t["row_idx"], "label": t["row_idx"]}),
-        batch_format="pyarrow",
-    ).materialize()
-    fwd = edges.select_columns(["left_idx", "right_idx"])
-    bwd = fwd.map_batches(
-        lambda t: pa.table({"left_idx": t["right_idx"], "right_idx": t["left_idx"]}),
-        batch_format="pyarrow",
-    )
     def drop_diag(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return t.filter(pc.not_equal(t["left_idx"], t["right_idx"]))
 
-    both = fwd.union(bwd).map_batches(drop_diag, batch_format="pyarrow").materialize()
-    _mark("labels+both setup")
-
-    prev_sum = None
-    for _round in range(64):  # backstop; converges in O(log n)
-        joined = shuffle_join(
-            both, labels, on="left_idx", right_on="node", how="inner",
-            left_schema=pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())]),
-            right_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-        )
-        msgs = joined.map_batches(
-            lambda t: pa.table({"node": t["right_idx"], "cand": t["label"]}),
-            batch_format="pyarrow",
-        )
-        self_msgs = labels.map_batches(
-            lambda t: pa.table({"node": t["node"], "cand": t["label"]}),
-            batch_format="pyarrow",
-        )
-        from ..functions.grouped import groupby_agg
-
-        new_labels = groupby_agg(
-            msgs.union(self_msgs), "node", "cand", "min"
-        ).map_batches(
-            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
-        )
-        # pointer jump: node -> label(label(node))
-        ptr = new_labels.map_batches(
-            lambda t: pa.table({"p_node": t["node"], "p_label": t["label"]}),
-            batch_format="pyarrow",
-        )
-        jumped = shuffle_join(
-            new_labels, ptr, on="label", right_on="p_node", how="left",
-            left_schema=pa.schema([("node", pa.int64()), ("label", pa.int64())]),
-            right_schema=pa.schema([("p_node", pa.int64()), ("p_label", pa.int64())]),
-        )
-
-        def shortcut(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            # combine_chunks first: pc.coalesce over two ChunkedArrays with
-            # different chunk layouts misaligns values in pyarrow 16.1 (the
-            # cast can collapse one side to a single chunk) — here that
-            # would silently corrupt component labels
-            t = t.combine_chunks()
-            lbl = pc.coalesce(
-                t["p_label"].cast(pa.int64()), t["label"].cast(pa.int64())
-            )
-            return pa.table({"node": t["node"].cast(pa.int64()), "label": lbl})
-
-        labels = jumped.map_batches(shortcut, batch_format="pyarrow").materialize()
-        cur_sum = labels.sum("label")
-        _mark(f"round[{_round}] sum={cur_sum}")
-        if prev_sum is not None and cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.map_batches(
-        lambda t: pa.table({"row_idx": t["node"], "group_id": t["label"]}),
-        batch_format="pyarrow",
+    stars = (
+        edges.select_columns(["left_idx", "right_idx"])
+        .map_batches(drop_diag, batch_format="pyarrow")
+        .materialize()
     )
+    _mark("star setup")
+
+    def mirror(t: pa.Table) -> pa.Table:
+        return pa.table({"left_idx": t["right_idx"], "right_idx": t["left_idx"]})
+
+    def orient_max_first(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "left_idx": pc.max_element_wise(t["left_idx"], t["right_idx"]),
+                "right_idx": pc.min_element_wise(t["left_idx"], t["right_idx"]),
+            }
+        )
+
+    prev_triple = None
+    if not stars.count():  # no edges at all: every node is a singleton
+        return nodes.select_columns(["row_idx"]).map_batches(
+            lambda t: pa.table({"row_idx": t["row_idx"], "group_id": t["row_idx"]}),
+            batch_format="pyarrow",
+        )
+    for _round in range(64):  # backstop; fixpoint in O(log^2 n) operations
+        # large-star over the symmetrized adjacency (group key = left_idx)
+        sym = stars.union(stars.map_batches(mirror, batch_format="pyarrow"))
+        large = bucketed_group_map(
+            sym, ["left_idx"], lambda t: _star_bucket(t, large=True),
+            bucket_format="pyarrow",
+        )
+        # small-star groups each edge once, by its MAX endpoint
+        stars = bucketed_group_map(
+            large.map_batches(orient_max_first, batch_format="pyarrow"),
+            ["left_idx"], lambda t: _star_bucket(t, large=False),
+            bucket_format="pyarrow",
+        ).materialize()
+        n = stars.count()
+        sums = (stars.sum(["left_idx", "right_idx"]) if n
+                else {"sum(left_idx)": 0, "sum(right_idx)": 0})
+        triple = (n, sums["sum(left_idx)"], sums["sum(right_idx)"])
+        _mark(f"star_round[{_round}] edges={n}")
+        if triple == prev_triple or n == 0:
+            break
+        prev_triple = triple
+
+    # at the fixpoint every edge is (component_min, node); a node appears
+    # under exactly one root, but dedup defensively (min root per node)
+    # before hydrating so a duplicate star edge can never fan out a node
+    att = groupby_agg(stars, "right_idx", "left_idx", "min").map_batches(
+        lambda t: t.rename_columns(["node", "root"]), batch_format="pyarrow"
+    )
+    joined = shuffle_join(
+        nodes.select_columns(["row_idx"]), att, on="row_idx", right_on="node",
+        how="left",
+        left_schema=pa.schema([("row_idx", pa.int64())]),
+        right_schema=pa.schema([("node", pa.int64()), ("root", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # combine_chunks first: pc.coalesce over two ChunkedArrays with
+        # different chunk layouts misaligns values in pyarrow 16.1 (the
+        # cast can collapse one side to a single chunk) — here that
+        # would silently corrupt component labels
+        t = t.combine_chunks()
+        lbl = pc.coalesce(t["root"].cast(pa.int64()), t["row_idx"].cast(pa.int64()))
+        return pa.table({"row_idx": t["row_idx"].cast(pa.int64()), "group_id": lbl})
+
+    out = joined.map_batches(finish, batch_format="pyarrow")
+    _mark("labels join")
+    return out
