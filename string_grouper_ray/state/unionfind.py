@@ -317,24 +317,43 @@ def _cc_distributed(
             lambda t: pa.table({"row_idx": t["row_idx"], "group_id": t["row_idx"]}),
             batch_format="pyarrow",
         )
+    import gc as _gc
+
+    from ..functions.grouped import bundle_for
+
+    n_star = stars.count()
     for _round in range(64):  # backstop; fixpoint in O(log^2 n) operations
+        # explicit map-side bundles: reduce parallelism follows INPUT block
+        # count in this Ray version, and the union below doubles the block
+        # count every round — unbundled, the rounds' exchanges fragment
+        # geometrically and per-round wall grows at constant edge count
+        _bundle = bundle_for(2 * max(1, n_star))
         # large-star over the symmetrized adjacency (group key = left_idx)
         sym = stars.union(stars.map_batches(mirror, batch_format="pyarrow"))
         large = bucketed_group_map(
             sym, ["left_idx"], lambda t: _star_bucket(t, large=True),
-            bucket_format="pyarrow",
+            bucket_format="pyarrow", bundle_rows=_bundle,
         )
         # small-star groups each edge once, by its MAX endpoint
+        prev_stars = stars
         stars = bucketed_group_map(
             large.map_batches(orient_max_first, batch_format="pyarrow"),
             ["left_idx"], lambda t: _star_bucket(t, large=False),
-            bucket_format="pyarrow",
+            bucket_format="pyarrow", bundle_rows=_bundle,
         ).materialize()
+        # release the previous round's materialized edges and this round's
+        # intermediate lineage NOW: the streaming executor budgets object
+        # store per operator, and blocks pinned by dangling round datasets
+        # throttle the next round's exchanges (measured: per-round wall grew
+        # 0.9→3.6 s at constant edge count before this release)
+        del prev_stars, sym, large
+        _gc.collect()
         n = stars.count()
         sums = (stars.sum(["left_idx", "right_idx"]) if n
                 else {"sum(left_idx)": 0, "sum(right_idx)": 0})
         triple = (n, sums["sum(left_idx)"], sums["sum(right_idx)"])
-        _mark(f"star_round[{_round}] edges={n}")
+        _mark(f"star_round[{_round}] edges={n} blocks={stars.num_blocks()}")
+        n_star = n
         if triple == prev_triple or n == 0:
             break
         prev_triple = triple
