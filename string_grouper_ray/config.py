@@ -138,6 +138,14 @@ class EngineConfig:
     # far beyond the vector-broadcast cutover; above this the filter becomes
     # a shuffle_join.
     rep_broadcast_max_rows: int = 50_000_000
+    # minhash_dedup's true-Jaccard verify: below this row count the per-row
+    # DISTINCT-shingle CSR (rank-encoded int32) is broadcast and pairs
+    # verify in one map stage (no shingle-carrying shuffle_joins).
+    # Resident ≈ rows × (avg distinct shingles × 4 B + 16 B) — ~1.3 GB at
+    # 1M rows of ~300-char transcripts; LONG-document corpora (minhash's
+    # other target) should lower this or rely on the join route, which
+    # never holds a full side anywhere.
+    jaccard_broadcast_max_rows: int = 1_000_000
     # LSH self-join pair emission:
     #   "clique" — every intra-bucket pair (exact reference-style matching;
     #              O(k²) per bucket, needed when the PAIR LIST is the product)
@@ -280,6 +288,9 @@ class EngineConfig:
             ),
             "rep_broadcast_max_rows": int(0.10 * min_store / 8),
             "cc_driver_max_edges": int(0.20 * driver_mem / 16),
+            # ~1.2 KB/row rank-encoded shingle CSR at ~300-char docs (see
+            # field comment)
+            "jaccard_broadcast_max_rows": int(0.10 * min_store / 1200),
         }
         derived.update(overrides)
         return cls(**derived)

@@ -29,7 +29,7 @@ import ray
 import ray.data
 
 from ..config import EngineConfig
-from ..functions.stagemap import stage_map_batches
+from ..functions.stagemap import fanout_batch, stage_map_batches
 from ..state.unionfind import connected_components
 from ..stages.minhash import MinHashBander, band_keys_matrix
 from ..text import NGramTokenizer
@@ -59,16 +59,136 @@ def exact_dedup(
     )
 
 
+def _jaccard_sims(
+    lvals: np.ndarray, l_len: np.ndarray, rvals: np.ndarray, r_len: np.ndarray
+) -> np.ndarray:
+    """Per-pair true Jaccard over per-side DISTINCT shingle arrays.
+
+    Fully vectorized: all pairs' elements go through ONE
+    ``lexsort((value, pair_id))``, and a value that appears twice under the
+    same pair id is — by per-side uniqueness — exactly one intersection
+    element, counted per pair with a single ``bincount``. No per-pair
+    Python (the old ``intersect1d`` loop was the verify bottleneck at
+    scale). Shared by the join-carried and broadcast-CSR verify stages so
+    the two routes cannot diverge numerically."""
+    n = len(l_len)
+    pid = np.concatenate(
+        [
+            np.repeat(np.arange(n, dtype=np.int64), l_len),
+            np.repeat(np.arange(n, dtype=np.int64), r_len),
+        ]
+    )
+    vals = np.concatenate([lvals, rvals])
+    inter = np.zeros(n, dtype=np.int64)
+    if len(vals):
+        order = np.lexsort((vals, pid))
+        pid_s, vals_s = pid[order], vals[order]
+        dup = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
+        if dup.any():
+            inter = np.bincount(pid_s[1:][dup], minlength=n)
+    union = l_len + r_len - inter
+    # both-empty shingle sets (e.g. two sub-ngram-length texts) → 1.0
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def _jaccard_sims_ranked(
+    lranks: np.ndarray,
+    l_len: np.ndarray,
+    rranks: np.ndarray,
+    r_len: np.ndarray,
+    n_distinct: int,
+) -> np.ndarray:
+    """Sort-free per-pair Jaccard when shingles arrive as DENSE RANKS
+    (ints in ``[0, n_distinct)``, sorted-unique per side — the broadcast
+    CSR is rank-encoded once at build time for exactly this).
+
+    ``(pair_id, rank)`` packs into one monotone int64 key, so the per-pair
+    intersection of two sorted runs is a single global ``searchsorted``
+    probe — no data-moving ``lexsort``. Measured 6-8× the lexsort kernel
+    (which is memory-bandwidth-bound and scales poorly across a full
+    node's workers). Intersection counts are exact integers either way,
+    so this and :func:`_jaccard_sims` cannot diverge — pinned by
+    ``test_jaccard_ranked_kernel_equals_lexsort``."""
+    n = len(l_len)
+    D = max(int(n_distinct), 1)
+    if n * D >= 2**62:  # key overflow guard: fall back to the sort kernel
+        return _jaccard_sims(lranks, l_len, rranks, r_len)
+    l_pid = np.repeat(np.arange(n, dtype=np.int64), l_len)
+    r_pid = np.repeat(np.arange(n, dtype=np.int64), r_len)
+    inter = np.zeros(n, dtype=np.int64)
+    if len(lranks) and len(rranks):
+        lk = l_pid * D + lranks.astype(np.int64)
+        rk = r_pid * D + rranks.astype(np.int64)
+        pos = np.searchsorted(rk, lk)
+        valid = pos < len(rk)
+        hit = valid & (rk[np.minimum(pos, len(rk) - 1)] == lk)
+        if hit.any():
+            inter = np.bincount(l_pid[hit], minlength=n)
+    union = l_len + r_len - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def _gather_slices(
+    vals: np.ndarray, offs: np.ndarray, idx: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Concatenate ``vals[offs[i]:offs[i+1]]`` for each ``i`` in ``idx``
+    (vectorized ragged gather). Returns ``(flat, lengths)``."""
+    lens = (offs[idx + 1] - offs[idx]).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return vals[:0], lens
+    cum = np.cumsum(lens) - lens
+    pos = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+    return vals[np.repeat(offs[idx], lens) + pos], lens
+
+
+def collect_shingle_csr(sh_ds, id_col: str = "l_idx", sh_col: str = "l_sh"):
+    """Driver-side collect of a shingle-column dataset into broadcastable
+    RANK-ENCODED CSR state ``(row_ids_sorted, flat_ranks, offsets,
+    n_distinct)``.
+
+    Shingle hashes are replaced by their dense rank in the corpus's
+    distinct-shingle set (one ``np.unique`` here — paid once per build, at
+    the cutoff scale ~10 s vs the per-verify lexsorts it eliminates; the
+    monotone rank map keeps each row's slice sorted-unique). int32 ranks
+    halve the broadcast footprint vs raw u64 hashes. Bounded by
+    ``EngineConfig.jaccard_broadcast_max_rows`` at the caller — resident
+    size ≈ rows × (avg distinct shingles × 4 B + 16 B)."""
+    ids_p, vals_p, lens_p = [], [], []
+    from ..functions.packing import unpack_binary_column
+
+    for bt in sh_ds.iter_batches(batch_format="pyarrow", batch_size=32768):
+        v, o = unpack_binary_column(bt[sh_col], np.uint64)
+        # copy: v views the Arrow buffer, which is recycled as iteration
+        # advances
+        vals_p.append(np.array(v, copy=True))
+        lens_p.append(np.diff(o))
+        ids_p.append(bt[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+    if not ids_p:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int32),
+            np.zeros(1, dtype=np.int64),
+            0,
+        )
+    ids = np.concatenate(ids_p)
+    lens = np.concatenate(lens_p)
+    vals = np.concatenate(vals_p) if vals_p else np.empty(0, dtype=np.uint64)
+    offs_in = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs_in[1:])
+    order = np.argsort(ids, kind="stable")
+    flat, lens_sorted = _gather_slices(vals, offs_in, order)
+    offs = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens_sorted, out=offs[1:])
+    uniq, ranks = np.unique(flat, return_inverse=True)
+    rank_dtype = np.int32 if len(uniq) < 2**31 else np.int64
+    return ids[order], ranks.astype(rank_dtype), offs, len(uniq)
+
+
 class _ShingleJaccardVerify:
     """True Jaccard on distinct shingle sets for candidate pairs carrying
-    both shingle arrays (sorted-unique uint64, packed binary).
-
-    Fully vectorized: both columns flatten zero-copy off the Arrow buffers,
-    all pairs' elements go through ONE ``lexsort((value, pair_id))``, and a
-    value that appears twice under the same pair id is — by per-side
-    uniqueness — exactly one intersection element, counted per pair with a
-    single ``bincount``. No per-pair Python (the old ``intersect1d`` loop
-    was the verify bottleneck at scale)."""
+    both shingle arrays (sorted-unique uint64, packed binary) — the
+    join-route verifier; the math lives in :func:`_jaccard_sims`."""
 
     def __init__(self, threshold: float):
         self.threshold = threshold
@@ -76,28 +196,57 @@ class _ShingleJaccardVerify:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.packing import unpack_binary_column
 
-        n = len(batch)
         lvals, loff = unpack_binary_column(batch["l_sh"], np.uint64)
         rvals, roff = unpack_binary_column(batch["r_sh"], np.uint64)
-        l_len = np.diff(loff)
-        r_len = np.diff(roff)
-        pid = np.concatenate(
-            [
-                np.repeat(np.arange(n, dtype=np.int64), l_len),
-                np.repeat(np.arange(n, dtype=np.int64), r_len),
-            ]
+        sims = _jaccard_sims(lvals, np.diff(loff), rvals, np.diff(roff))
+        keep = sims >= self.threshold
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "left_idx": batch["left_idx"].cast(pa.int64()).filter(mask),
+                "right_idx": batch["right_idx"].cast(pa.int64()).filter(mask),
+                "similarity": pa.array(sims[keep]),
+            }
         )
-        vals = np.concatenate([lvals, rvals])
-        inter = np.zeros(n, dtype=np.int64)
-        if len(vals):
-            order = np.lexsort((vals, pid))
-            pid_s, vals_s = pid[order], vals[order]
-            dup = (pid_s[1:] == pid_s[:-1]) & (vals_s[1:] == vals_s[:-1])
-            if dup.any():
-                inter = np.bincount(pid_s[1:][dup], minlength=n)
-        union = l_len + r_len - inter
-        # both-empty shingle sets (e.g. two sub-ngram-length texts) → 1.0
-        sims = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+class _ShingleJaccardBroadcastVerify:
+    """True-Jaccard verify against broadcast rank-encoded shingle-CSR
+    state — no join shuffles: row-id lookup is one ``searchsorted``, both
+    sides' rank arrays gather from the shared flat buffer, and the
+    similarity runs through the sort-free :func:`_jaccard_sims_ranked`
+    kernel (exact-integer-equal to the join route's :func:`_jaccard_sims`).
+    Mirrors ``_VerifyCosineBroadcast`` (stages/lsh.py): holds the ref,
+    resolves lazily on the worker so the CSR rides plasma zero-copy
+    instead of being pickled into the operator spec."""
+
+    def __init__(self, csr_ref, threshold: float):
+        self._ref = csr_ref
+        self.threshold = threshold
+        self._state = None
+
+    def _csr(self):
+        if self._state is None:
+            self._state = (
+                ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) else self._ref
+            )
+        return self._state
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ranks, offs, n_distinct = self._csr()
+        l = batch["left_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["right_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        li = np.searchsorted(ids, l)
+        ri = np.searchsorted(ids, r)
+        # pairs are emitted from bands over the same base rows the CSR was
+        # built from, so every id resolves; clip defensively anyway (a miss
+        # would yield a wrong-row similarity, caught by the route-equality
+        # test, not a crash)
+        li = np.minimum(li, max(len(ids) - 1, 0))
+        ri = np.minimum(ri, max(len(ids) - 1, 0))
+        lranks, l_len = _gather_slices(ranks, offs, li)
+        rranks, r_len = _gather_slices(ranks, offs, ri)
+        sims = _jaccard_sims_ranked(lranks, l_len, rranks, r_len, n_distinct)
         keep = sims >= self.threshold
         mask = pa.array(keep)
         return pa.table(
@@ -181,9 +330,34 @@ def minhash_dedup(
         batch_format="pyarrow",
     ).materialize()
 
+    # Broadcast-verify fast path (mirrors the flagship's broadcast-CSR
+    # cosine verify, stages/lsh.py): below the cutoff the per-row shingle
+    # sets fit the object store, so candidate pairs verify in ONE map stage
+    # against broadcast CSR state instead of carrying packed shingle binaries
+    # through two wide shuffle_joins. Built SEQUENTIALLY before the banding
+    # chain: a background-thread build ran concurrently with the banded
+    # materialize and the two streaming executions split the operator
+    # resource budget — measured 1.6-3x slower end-to-end than sequential
+    # (same contention class as the chained-sort livelock noted in
+    # BENCH/BASELINE.md). Route equality is pinned by
+    # test_minhash_broadcast_verify_equals_join.
+    n_base = base.count()
+    use_broadcast_verify = n_base <= config.jaccard_broadcast_max_rows
+    # fan-out batch for the compute-heavy per-row stages (banding is
+    # ~0.8 ms/row): the memory-sized default runs a 5k-row input as ~2 fat
+    # tasks — see fanout_batch
+    bs = fanout_batch(n_base, config)
+    csr_ref = None
+    if use_broadcast_verify:
+        sh = stage_map_batches(
+            base, _ShingleColumn, (config, "text", "l"), config,
+            batch_format="pyarrow", batch_size=bs,
+        )
+        csr_ref = ray.put(collect_shingle_csr(sh))
+
     banded = stage_map_batches(
         base, MinHashBander, (config, "text"), config,
-        batch_format="pyarrow", batch_size=config.batch_size,
+        batch_format="pyarrow", batch_size=bs,
     ).map_batches(
         lambda t: t.append_column("side", pa.array(np.zeros(len(t), dtype=np.int8))),
         batch_format="pyarrow",
@@ -234,10 +408,34 @@ def minhash_dedup(
         )
         pairs = dedup_pairs(pairs, ["left_idx", "right_idx"])
 
+    if use_broadcast_verify:
+        # materialize: without it the group-map exchange + pair-dedup sort
+        # + repartition + CC exchanges all chain inside ONE streaming
+        # execution, which thrashes under operator resource reservation
+        # (measured 25-80 s vs ~11 s staged; same class as the chained-sort
+        # livelock in BENCH/BASELINE.md). The sort in dedup_pairs is a
+        # global barrier anyway — staging costs no pipelining.
+        pairs = pairs.materialize()
+        # split-only repartition: the pair dedup's sort exchange emits one
+        # block per reduce partition, and map task fan-out follows block
+        # count — unsplit, the whole verify ran as ~1 task (same fix as the
+        # flagship's post-dedup split, stages/lsh.py). Materialized too:
+        # fused repartition+verify executions measured 10-33 s rep-to-rep
+        # at sf0.1 where the staged equivalent holds 5-7 s; the split
+        # output is 16 B/row, staging it is ~free.
+        pairs = pairs.repartition(target_num_rows_per_block=16384).materialize()
+        verified = stage_map_batches(
+            pairs,
+            _ShingleJaccardBroadcastVerify,
+            (csr_ref, jaccard_threshold), config,
+            batch_format="pyarrow", batch_size=16384,
+        )
+        return _cluster_and_keep(verified, base, id_col, config)
+
     lsh_l = stage_map_batches(base, _ShingleColumn, (config, "text", "l"), config,
-                              batch_format="pyarrow", batch_size=config.batch_size)
+                              batch_format="pyarrow", batch_size=bs)
     lsh_r = stage_map_batches(base, _ShingleColumn, (config, "text", "r"), config,
-                              batch_format="pyarrow", batch_size=config.batch_size)
+                              batch_format="pyarrow", batch_size=bs)
     pair_schema = pa.schema([("left_idx", pa.int64()), ("right_idx", pa.int64())])
     lsch = pa.schema([("l_idx", pa.int64()), ("l_sh", pa.binary())])
     rsch = pa.schema([("r_idx", pa.int64()), ("r_sh", pa.binary())])

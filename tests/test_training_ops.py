@@ -811,3 +811,71 @@ def test_group_assignments_dedup_edges_all_routes_agree():
     for col in ["group_id", "group_rep_idx"]:
         assert driver[col].tolist() == prededuped[col].tolist()
         assert driver[col].tolist() == distributed[col].tolist()
+
+
+def test_minhash_broadcast_verify_equals_join():
+    """Route equality: the broadcast-CSR Jaccard verify (below
+    jaccard_broadcast_max_rows) and the shingle-carrying join route must
+    produce identical (doc_id, cluster_id, keep) outputs — same pairs, same
+    similarities (shared _jaccard_sims kernel), same clusters."""
+    from string_grouper_ray.pipelines.dedup import minhash_dedup
+
+    rng = np.random.RandomState(11)
+    words = [f"w{w:03d}" for w in range(300)]
+    texts = []
+    for c in range(30):
+        base = [words[i] for i in rng.choice(300, size=20, replace=False)]
+        texts.append(" ".join(base))
+        for _ in range(rng.randint(1, 3)):
+            variant = list(base)
+            for j in rng.choice(20, size=rng.randint(1, 3), replace=False):
+                variant[j] = words[rng.randint(0, 300)]
+            texts.append(" ".join(variant))
+    # non-contiguous ids exercise the searchsorted id lookup
+    ids = [3 * i + 7 for i in range(len(texts))]
+
+    cfg_b = EngineConfig(use_actor_pools=False, jaccard_broadcast_max_rows=10**9)
+    cfg_j = EngineConfig(use_actor_pools=False, jaccard_broadcast_max_rows=0)
+    out_b = (
+        minhash_dedup(_docs(texts, ids), jaccard_threshold=0.7, config=cfg_b)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    out_j = (
+        minhash_dedup(_docs(texts, ids), jaccard_threshold=0.7, config=cfg_j)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out_b["cluster_id"].nunique() < len(texts)  # fixture has dups
+    pd.testing.assert_frame_equal(out_b, out_j)
+
+
+def test_gather_slices_and_shingle_csr_roundtrip():
+    from string_grouper_ray.pipelines.dedup import _gather_slices
+
+    vals = np.arange(10, dtype=np.uint64)
+    offs = np.array([0, 3, 3, 7, 10], dtype=np.int64)
+    flat, lens = _gather_slices(vals, offs, np.array([2, 0, 1, 2], dtype=np.int64))
+    assert lens.tolist() == [4, 3, 0, 4]
+    assert flat.tolist() == [3, 4, 5, 6, 0, 1, 2, 3, 4, 5, 6]
+
+
+def test_jaccard_ranked_kernel_equals_lexsort():
+    """The sort-free ranked kernel and the lexsort kernel must agree
+    exactly on random sorted-unique rank sets (incl. empty sides)."""
+    from string_grouper_ray.pipelines.dedup import _jaccard_sims, _jaccard_sims_ranked
+
+    rng = np.random.RandomState(3)
+    D = 500
+    lsets, rsets = [], []
+    for _ in range(200):
+        lsets.append(np.sort(rng.choice(D, size=rng.randint(0, 60), replace=False)))
+        rsets.append(np.sort(rng.choice(D, size=rng.randint(0, 60), replace=False)))
+    l_len = np.array([len(s) for s in lsets], dtype=np.int64)
+    r_len = np.array([len(s) for s in rsets], dtype=np.int64)
+    lr = np.concatenate(lsets).astype(np.int32) if l_len.sum() else np.empty(0, np.int32)
+    rr = np.concatenate(rsets).astype(np.int32) if r_len.sum() else np.empty(0, np.int32)
+    ranked = _jaccard_sims_ranked(lr, l_len, rr, r_len, D)
+    lex = _jaccard_sims(lr.astype(np.uint64), l_len, rr.astype(np.uint64), r_len)
+    np.testing.assert_array_equal(ranked, lex)
+    # overflow-guard fallback path: huge fake n_distinct routes to lexsort
+    ranked_fb = _jaccard_sims_ranked(lr, l_len, rr, r_len, 2**62)
+    np.testing.assert_array_equal(ranked_fb, lex)
