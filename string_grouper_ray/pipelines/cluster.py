@@ -258,8 +258,23 @@ def _driver_group_assignments(
                 )
             weight[li] = wcols["weight"].astype(np.float64)
         else:
-            li = np.searchsorted(node_ids, l)
-            np.add.at(weight, li, p["similarity"].astype(np.float64))
+            # node_ids is sorted; LUT-or-searchsorted mapping plus a
+            # buffered bincount sum replace a third per-edge searchsorted
+            # and an unbuffered np.add.at scatter (both ~seconds at the
+            # 7.8M-edge group_part scale). bincount sums per bin instead
+            # of in edge order — any last-ulp float difference is absorbed
+            # by the 9-decimal round below (its existing purpose).
+            from ..state.unionfind import map_node_ids
+
+            li = map_node_ids(l, node_ids)
+            if len(li) and not bool((li >= 0).all()):
+                raise ValueError(
+                    "group weights reference edge endpoints missing from "
+                    "the nodes dataset"
+                )
+            weight = np.bincount(
+                li, weights=p["similarity"].astype(np.float64), minlength=n
+            )
         weight = np.round(weight, 9)
         weight_key = -weight  # argmax
     else:

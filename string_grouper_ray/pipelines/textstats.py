@@ -147,33 +147,26 @@ class Fingerprinter:
         return t.append_column("fingerprint", pa.array(fps, type=pa.string()))
 
 
-def token_counts(ds, text_col: str = "text", config=None):
-    from ..config import EngineConfig
-    from ..functions.stagemap import stage_map_batches
+# These four stages have MICROSECOND setup (a compiled regex, a few
+# dicts) — actor pools buy nothing here and cost a full pool spin-up per
+# query (~3-4 s for 31 actors; the per-query wall at sf0.1 was 5 s for
+# ~1.5 s of work). Stateless tasks construct the (pickled) instance per
+# task at negligible cost and reuse warm worker processes at any scale;
+# actor pools stay reserved for expensive-setup stages (vocabulary fetch,
+# permutation tables, codec state).
 
-    return stage_map_batches(ds, TokenCounter, (text_col,), config or EngineConfig(),
-                             batch_format="pyarrow")
+
+def token_counts(ds, text_col: str = "text", config=None):
+    return ds.map_batches(TokenCounter(text_col), batch_format="pyarrow")
 
 
 def quality_scores(ds, text_col: str = "text", config=None):
-    from ..config import EngineConfig
-    from ..functions.stagemap import stage_map_batches
-
-    return stage_map_batches(ds, QualityScorer, (text_col,), config or EngineConfig(),
-                             batch_format="pyarrow")
+    return ds.map_batches(QualityScorer(text_col), batch_format="pyarrow")
 
 
 def lang_id(ds, text_col: str = "text", config=None):
-    from ..config import EngineConfig
-    from ..functions.stagemap import stage_map_batches
-
-    return stage_map_batches(ds, LangId, (text_col,), config or EngineConfig(),
-                             batch_format="pyarrow")
+    return ds.map_batches(LangId(text_col), batch_format="pyarrow")
 
 
 def fingerprints(ds, text_col: str = "text", config=None):
-    from ..config import EngineConfig
-    from ..functions.stagemap import stage_map_batches
-
-    return stage_map_batches(ds, Fingerprinter, (text_col,), config or EngineConfig(),
-                             batch_format="pyarrow")
+    return ds.map_batches(Fingerprinter(text_col), batch_format="pyarrow")
