@@ -532,7 +532,7 @@ def simhash_dedup(
     ).materialize()
     banded = stage_map_batches(
         base, _SimHasher, (config, text_col if text_col == "text" else "text"), config,
-        batch_format="pyarrow", batch_size=config.batch_size,
+        batch_format="pyarrow", batch_size=fanout_batch(base.count(), config),
     )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
