@@ -229,3 +229,30 @@ def test_knn_brute_force_query_guard():
     ds = ray.data.from_pandas(emb)
     with pytest.raises(ValueError, match="query set has 8 rows"):
         knn_brute_force(ds, ds, k=2, max_query_rows=4)
+
+
+def test_map_node_ids_dense_and_sparse_paths():
+    from string_grouper_ray.state.unionfind import map_node_ids
+
+    nodes = np.array([5, 8, 11, 14], dtype=np.int64)  # dense path (span 10)
+    vals = np.array([11, 5, 14, 7, -3, 99], dtype=np.int64)
+    got = map_node_ids(vals, nodes)
+    assert got.tolist() == [2, 0, 3, -1, -1, -1]
+    # sparse path (span >> 16x nodes): same answers through searchsorted
+    sparse_nodes = nodes * 10**12
+    got_sp = map_node_ids(vals * 10**12, sparse_nodes)
+    assert got_sp.tolist() == [2, 0, 3, -1, -1, -1]
+    assert map_node_ids(vals, np.empty(0, dtype=np.int64)).tolist() == [-1] * 6
+
+
+def test_fanout_batch_bounds():
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.functions.stagemap import fanout_batch
+
+    cfg = EngineConfig(batch_size=4096)
+    # big inputs keep the memory-sized default
+    assert fanout_batch(10**8, cfg) == 4096
+    # small inputs fan out but never below the vectorization floor
+    assert fanout_batch(100, cfg) == 64
+    small = fanout_batch(5000, cfg)
+    assert 64 <= small < 4096
