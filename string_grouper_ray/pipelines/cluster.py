@@ -249,9 +249,11 @@ def _driver_group_assignments(
                 groupby_agg(edges, "left_idx", "similarity", "sum", out_col="weight"),
                 ["left_idx", "weight"],
             )
+            from ..state.unionfind import map_node_ids
+
             wl = wcols["left_idx"].astype(np.int64)
-            li = np.searchsorted(node_ids, wl)
-            if len(li) and not bool((node_ids[np.minimum(li, n - 1)] == wl).all()):
+            li = map_node_ids(wl, node_ids)
+            if len(li) and not bool((li >= 0).all()):
                 raise ValueError(
                     "group weights reference edge endpoints missing from the "
                     "nodes dataset"

@@ -150,23 +150,34 @@ class Fingerprinter:
 # These four stages have MICROSECOND setup (a compiled regex, a few
 # dicts) — actor pools buy nothing here and cost a full pool spin-up per
 # query (~3-4 s for 31 actors; the per-query wall at sf0.1 was 5 s for
-# ~1.5 s of work). Stateless tasks construct the (pickled) instance per
-# task at negligible cost and reuse warm worker processes at any scale;
-# actor pools stay reserved for expensive-setup stages (vocabulary fetch,
-# permutation tables, codec state).
+# ~1.5 s of work). The DEFAULT is therefore stateless tasks, which
+# construct the (pickled) instance per task at negligible cost and reuse
+# warm worker processes at any scale; a config with use_actor_pools=True
+# is still honored as an explicit opt-in (pools stay the right call for
+# expensive-setup stages — vocabulary fetch, permutation tables, codec
+# state — just not these).
+
+
+def _stat_stage(ds, cls, text_col: str, config):
+    if config is not None and config.use_actor_pools:
+        from ..functions.stagemap import stage_map_batches
+
+        return stage_map_batches(ds, cls, (text_col,), config,
+                                 batch_format="pyarrow")
+    return ds.map_batches(cls(text_col), batch_format="pyarrow")
 
 
 def token_counts(ds, text_col: str = "text", config=None):
-    return ds.map_batches(TokenCounter(text_col), batch_format="pyarrow")
+    return _stat_stage(ds, TokenCounter, text_col, config)
 
 
 def quality_scores(ds, text_col: str = "text", config=None):
-    return ds.map_batches(QualityScorer(text_col), batch_format="pyarrow")
+    return _stat_stage(ds, QualityScorer, text_col, config)
 
 
 def lang_id(ds, text_col: str = "text", config=None):
-    return ds.map_batches(LangId(text_col), batch_format="pyarrow")
+    return _stat_stage(ds, LangId, text_col, config)
 
 
 def fingerprints(ds, text_col: str = "text", config=None):
-    return ds.map_batches(Fingerprinter(text_col), batch_format="pyarrow")
+    return _stat_stage(ds, Fingerprinter, text_col, config)

@@ -38,11 +38,12 @@ from ..config import EngineConfig
 def map_node_ids(values: np.ndarray, sorted_nodes: np.ndarray) -> np.ndarray:
     """Map raw node ids to positions in ``sorted_nodes``; unknown ids → -1.
 
-    Dense-ish id spaces (span ≤16× the node count) use an O(1) table
-    lookup instead of per-value binary search — the searchsorted pair plus
-    its validity gathers measured ~1.8 s of the 2.9 s driver-UF wall on
-    the 7.8M-edge group_part graph; the table is one int64 vector of
-    ``span`` entries."""
+    Dense-ish id spaces (span ≤ max(16× the node count, 2^20) — the floor
+    means a table up to 8 MB is always allowed) use an O(1) table lookup
+    instead of per-value binary search — the searchsorted pair plus its
+    validity gathers measured ~1.8 s of the 2.9 s driver-UF wall on the
+    7.8M-edge group_part graph; the table is one int64 vector of ``span``
+    entries."""
     n = len(sorted_nodes)
     if n == 0:
         return np.full(len(values), -1, dtype=np.int64)
@@ -70,8 +71,11 @@ def _driver_union_find(l: np.ndarray, r: np.ndarray, nodes: np.ndarray) -> np.nd
     order = np.argsort(nodes)
     sorted_nodes = nodes[order]
     n = len(nodes)
-    li = map_node_ids(l, sorted_nodes)
-    ri = map_node_ids(r, sorted_nodes)
+    # one mapping call for both endpoint columns: the dense path builds
+    # its O(span) lookup table per call, so mapping the concatenation
+    # halves the table builds
+    both = map_node_ids(np.concatenate([l, r]), sorted_nodes)
+    li, ri = both[: len(l)], both[len(l):]
     # fail loudly on edges referencing unknown nodes: an unchecked mapping
     # would silently alias the endpoint to a neighboring node, corrupting
     # component labels
