@@ -638,6 +638,24 @@ def _q_frame_pipeline(sf_dir: str):
     return feats.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_audio_fingerprint_dedup(sf_dir: str):
+    """Acoustic (payload-level) exact-dedup over the tone table with
+    ``param_mod=120``: clips i and i+120 are bit-identical waveforms under
+    distinct ids and EMPTY transcripts, so transcript-level dedup cannot
+    separate them — the energy-contour fingerprint does. The fingerprint
+    is pure integer arithmetic over formula-generated samples, so the
+    DuckDB oracle recomputes it bit-exactly from the same formula;
+    quantization-boundary collisions (8 of 120 classes merge at
+    bucket=64) reproduce identically on both sides."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import audio_fingerprint_dedup
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    ds = ray.data.from_arrow(tone_clip_table(200, param_mod=120))
+    return audio_fingerprint_dedup(ds, _cfg(use_actor_pools=False))
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -684,6 +702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": _q_audio_resample,
         "frame_sample": _q_frame_sample,
         "frame_pipeline": _q_frame_pipeline,
+        "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
     }
 
 
@@ -1122,4 +1141,28 @@ FROM documents
         "audio_resample": audio_resample_sql,
         "frame_sample": frame_sample_sql,
         "frame_pipeline": frame_pipeline_sql,
+        # acoustic fingerprint dedup: the tone fixture's sawtooth is pure
+        # integer arithmetic, so the window |sample| sums — and therefore
+        # the quantized fingerprint and its cluster partition — are
+        # recomputed bit-exactly from the formula (no table reads)
+        "audio_fingerprint_dedup": (
+            "WITH clips AS ("
+            "  SELECT i, printf('tone-%06d', i) AS clip_id,"
+            "         97 + 2*((i % 120) % 50) AS a,"
+            "         ((i % 120) * 997) % 24576 AS b"
+            "  FROM range(200) t(i)),"
+            " sums AS ("
+            "  SELECT c.i, r.range // 400 AS w,"
+            "         SUM(ABS((c.a * r.range + c.b) % 24576 - 12288)) AS s"
+            "  FROM clips c CROSS JOIN range(3200) r"
+            "  GROUP BY c.i, r.range // 400),"
+            " fp AS ("
+            "  SELECT i, string_agg(CAST(s // (400*64) AS VARCHAR), '-'"
+            "                       ORDER BY w) AS fpr"
+            "  FROM sums GROUP BY i)"
+            " SELECT c.clip_id,"
+            "        min(c.clip_id) OVER (PARTITION BY f.fpr) AS cluster_id,"
+            "        c.clip_id = min(c.clip_id) OVER (PARTITION BY f.fpr) AS keep"
+            " FROM fp f JOIN clips c USING (i)"
+        ),
     }

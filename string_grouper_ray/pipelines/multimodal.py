@@ -269,3 +269,79 @@ def resample_audio(
     return stage_map_batches(
         ds, Resampler, (target_sr,), config, batch_format="pyarrow", batch_size=256
     )
+
+
+class AcousticFingerprint:
+    """Decode + integer windowed energy-contour fingerprint per clip.
+
+    The signature is the per-window SUM of |int16 samples| over the first
+    ``n_windows × window`` samples (zero-padded if shorter), floor-divided
+    by ``window × bucket`` and joined as a string — pure integer
+    arithmetic, so a SQL oracle over a formula-generated fixture
+    reproduces it bit-exactly, and the bucket/boundary choice can never
+    make pipeline and oracle diverge (both quantize the same integers).
+    Payload-level analogue of the text md5 Fingerprinter
+    (textstats.py): catches same-audio-different-metadata duplicates that
+    transcript-level dedup cannot see."""
+
+    def __init__(self, n_windows: int = 8, window: int = 400, bucket: int = 64):
+        self.n_windows = n_windows
+        self.window = window
+        self.bucket = bucket
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        span = self.n_windows * self.window
+        fps = []
+        for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
+            pcm, _sr = decode_wav(data, codec)
+            # exact int16 recovery (decode scales by 1/32767; float64 is
+            # wide enough that the round-trip is lossless)
+            ints = np.abs(np.rint(pcm[:span] * 32767.0).astype(np.int64))
+            if len(ints) < span:
+                ints = np.pad(ints, (0, span - len(ints)))
+            sums = ints.reshape(self.n_windows, self.window).sum(axis=1)
+            q = sums // (self.window * self.bucket)
+            fps.append("-".join(str(int(v)) for v in q))
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "fingerprint": pa.array(fps, type=pa.string()),
+            }
+        )
+
+
+def audio_fingerprint_dedup(
+    ds: "ray.data.Dataset",
+    config: Optional[EngineConfig] = None,
+    n_windows: int = 8,
+    window: int = 400,
+    bucket: int = 64,
+) -> "ray.data.Dataset":
+    """Acoustic exact-dedup: (clip_id, cluster_id, keep) by energy-contour
+    fingerprint. Decode+fingerprint is an actor-pool map (wide binary
+    rows, small batches); the dedup itself is a hash-partitioned group map
+    over the narrow (clip_id, fingerprint) rows — no all-pairs path, no
+    driver materialization; scale-safe like exact_dedup. Near-dup on the
+    same contour is a composition: treat the un-quantized window sums as
+    an 8-dim vector and run pipelines.ann.embedding_neardup over them."""
+    import pandas as pd
+
+    from ..functions.grouped import bucketed_group_map
+
+    config = config or EngineConfig()
+    fps = stage_map_batches(
+        ds, AcousticFingerprint, (n_windows, window, bucket), config,
+        batch_format="pyarrow", batch_size=256,
+    )
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("fingerprint", sort=False)["clip_id"].transform("min")
+        return pd.DataFrame(
+            {
+                "clip_id": g["clip_id"],
+                "cluster_id": rep,
+                "keep": g["clip_id"].to_numpy() == rep.to_numpy(),
+            }
+        )
+
+    return bucketed_group_map(fps, ["fingerprint"], dedup_bucket)

@@ -154,27 +154,34 @@ def generate_clip_table(
     return pa.table({k: cols[k] for k in order if k in cols})
 
 
-def tone_clip_table(n: int, sr_hz: int = 16000) -> pa.Table:
+def tone_clip_table(n: int, sr_hz: int = 16000, param_mod: "int | None" = None) -> pa.Table:
     """SQL-expressible deterministic audio fixture: clip ``i`` is an integer
     sawtooth directly in PCM16 space,
 
-        ints[k] = ((a_i * k + b_i) % 24576) - 12288
-        a_i = 97 + 2*(i % 50),  b_i = (i * 997) % 24576
-        dur_ms_i = 200 + 40*(i % 30)   (n_samples = 16 * dur_ms at 16 kHz)
+        ints[k] = ((a_j * k + b_j) % 24576) - 12288,   j = i % param_mod
+        a_j = 97 + 2*(j % 50),  b_j = (j * 997) % 24576
+        dur_ms_j = 200 + 40*(j % 30)   (n_samples = 16 * dur_ms at 16 kHz)
 
     Pure integer arithmetic — a DuckDB oracle reproduces every sample
     bit-exactly (no RNG, no trig, no float rounding ambiguity), so decode /
     feature / resample stages get hash-checkable oracles. The WAV container
-    is written from the int16 samples directly (no float round-trip)."""
+    is written from the int16 samples directly (no float round-trip).
+
+    ``param_mod``: waveform parameters derive from ``i % param_mod`` while
+    the clip id stays ``i`` — clips ``i`` and ``i + param_mod`` become
+    bit-identical ACOUSTIC duplicates under distinct ids (the fixture for
+    payload-level dedup; transcripts are all empty, so transcript-level
+    dedup cannot distinguish them)."""
     import io
     import wave
 
     ids, payloads, durs = [], [], []
     for i in range(n):
-        dur_ms = 200 + 40 * (i % 30)
+        j = i % param_mod if param_mod else i
+        dur_ms = 200 + 40 * (j % 30)
         k = np.arange(sr_hz * dur_ms // 1000, dtype=np.int64)
-        a = 97 + 2 * (i % 50)
-        b = (i * 997) % 24576
+        a = 97 + 2 * (j % 50)
+        b = (j * 997) % 24576
         ints = ((a * k + b) % 24576 - 12288).astype(np.int16)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:

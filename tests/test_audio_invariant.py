@@ -291,3 +291,65 @@ def test_frame_resize_and_features_stages():
     assert len(out) == 4 * 2  # frames 0 and 6 per clip
     assert (out["width"] == 16).all() and (out["height"] == 16).all()
     assert all(len(f) == 48 for f in out["frame_feat"])
+
+
+def test_audio_fingerprint_dedup_payload_dups():
+    """Clips i and i+param_mod are bit-identical waveforms under distinct
+    ids (empty transcripts — transcript dedup can't see them); the acoustic
+    fingerprint must cluster them together, rep = min clip_id, and the
+    zero-pad path must not alias distinct short clips."""
+    import numpy as np
+
+    from string_grouper_ray.pipelines.multimodal import (
+        AcousticFingerprint,
+        audio_fingerprint_dedup,
+    )
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    import ray
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+
+    t = tone_clip_table(60, param_mod=40)
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    out = (
+        audio_fingerprint_dedup(ray.data.from_arrow(t), cfg)
+        .to_pandas().sort_values("clip_id").reset_index(drop=True)
+    )
+    assert len(out) == 60
+    # every true payload dup shares a cluster, rep is the min id
+    for i in range(20):
+        a, b = f"tone-{i:06d}", f"tone-{i + 40:06d}"
+        ca = out.loc[out["clip_id"] == a, "cluster_id"].item()
+        cb = out.loc[out["clip_id"] == b, "cluster_id"].item()
+        assert ca == cb == a
+        assert bool(out.loc[out["clip_id"] == a, "keep"].item())
+        assert not bool(out.loc[out["clip_id"] == b, "keep"].item())
+    assert out["keep"].sum() == out["cluster_id"].nunique()
+
+    # zero-pad path: a clip shorter than the 3200-sample span fingerprints
+    # deterministically and distinctly from silence-only
+    fp = AcousticFingerprint()
+    import io
+    import wave
+
+    def wav(ints):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(np.asarray(ints, dtype=np.int16).tobytes())
+        return buf.getvalue()
+
+    short = pa.table(
+        {
+            "clip_id": pa.array(["s1", "s2"]),
+            "bytes": pa.array(
+                [wav([12000] * 800), wav([0] * 800)], type=pa.binary()
+            ),
+            "codec": pa.array(["pcm_s16le"] * 2),
+        }
+    )
+    got = fp(short)["fingerprint"].to_pylist()
+    assert got[0] != got[1]
+    assert got[0].endswith("-0-0-0-0-0-0")  # padded windows quantize to 0
