@@ -656,6 +656,37 @@ def _q_audio_fingerprint_dedup(sf_dir: str):
     return audio_fingerprint_dedup(ds, _cfg(use_actor_pools=False))
 
 
+def _q_audio_contour_neardup(sf_dir: str):
+    """Acoustic NEAR-dup over the plain tone table: clips cluster when
+    their integer energy contours sit within Chebyshev distance 5000
+    (same-slope, near-phase sawtooths land inside it; measured fixture
+    pair distances span 288..218k, 31 pairs ≤ 5000). No float arithmetic
+    anywhere — the SQL oracle recomputes the window sums from the formula
+    and takes the identical pairwise closure, so recall/precision are
+    structural (shifted-grid banding + in-bucket exact verify), not
+    statistical."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import audio_contour_neardup
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    t = tone_clip_table(200)
+    t = t.append_column("clip_idx", pa.array(np.arange(200, dtype=np.int64)))
+    out = audio_contour_neardup(
+        ray.data.from_arrow(t), tol=5000, config=_cfg(use_actor_pools=False)
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "clip_idx": b["clip_idx"].cast(pa.int64()),
+                "cluster_id": b["cluster_id"].cast(pa.int64()),
+                "keep": b["keep"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -703,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _q_frame_sample,
         "frame_pipeline": _q_frame_pipeline,
         "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
+        "audio_contour_neardup": _q_audio_contour_neardup,
     }
 
 
@@ -1164,5 +1196,33 @@ FROM documents
             "        min(c.clip_id) OVER (PARTITION BY f.fpr) AS cluster_id,"
             "        c.clip_id = min(c.clip_id) OVER (PARTITION BY f.fpr) AS keep"
             " FROM fp f JOIN clips c USING (i)"
+        ),
+        # acoustic contour near-dup: pure integer window sums from the
+        # formula, pairwise Chebyshev <= tol, recursive min-label closure
+        # (same CC shape as the minhash oracle) — no float anywhere
+        "audio_contour_neardup": (
+            "WITH RECURSIVE clips AS ("
+            "  SELECT i, 97 + 2*(i % 50) AS a, (i * 997) % 24576 AS b"
+            "  FROM range(200) t(i)),"
+            " sums AS ("
+            "  SELECT c.i, r.range // 400 AS w,"
+            "         SUM(ABS((c.a * r.range + c.b) % 24576 - 12288)) AS s"
+            "  FROM clips c CROSS JOIN range(3200) r"
+            "  GROUP BY c.i, r.range // 400),"
+            " edges0 AS ("
+            "  SELECT x.i AS l, y.i AS r"
+            "  FROM sums x JOIN sums y ON x.w = y.w AND x.i < y.i"
+            "  GROUP BY x.i, y.i HAVING max(abs(x.s - y.s)) <= 5000),"
+            " edges AS (SELECT l, r FROM edges0"
+            "           UNION ALL SELECT r AS l, l AS r FROM edges0),"
+            " reach(id, rr) AS ("
+            "  SELECT i, i FROM clips"
+            "  UNION"
+            "  SELECT e.r, reach.rr FROM reach JOIN edges e ON e.l = reach.id),"
+            " comp AS (SELECT id, min(rr) AS comp_id FROM reach GROUP BY id)"
+            " SELECT CAST(id AS BIGINT) AS clip_idx,"
+            "        CAST(comp_id AS BIGINT) AS cluster_id,"
+            "        (id = comp_id) AS keep"
+            " FROM comp"
         ),
     }

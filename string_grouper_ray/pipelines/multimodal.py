@@ -345,3 +345,135 @@ def audio_fingerprint_dedup(
         )
 
     return bucketed_group_map(fps, ["fingerprint"], dedup_bucket)
+
+
+class AcousticContour:
+    """Decode + UN-quantized integer energy contour per clip: the
+    per-window sums of |int16 samples| packed as little-endian uint64 —
+    the exact-integer feature :func:`audio_contour_neardup` bands and
+    verifies on."""
+
+    def __init__(self, id_col: str, n_windows: int = 8, window: int = 400):
+        self.id_col = id_col
+        self.n_windows = n_windows
+        self.window = window
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        span = self.n_windows * self.window
+        packed = []
+        for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
+            pcm, _sr = decode_wav(data, codec)
+            ints = np.abs(np.rint(pcm[:span] * 32767.0).astype(np.int64))
+            if len(ints) < span:
+                ints = np.pad(ints, (0, span - len(ints)))
+            sums = ints.reshape(self.n_windows, self.window).sum(axis=1)
+            packed.append(sums.astype(np.uint64).tobytes())
+        return pa.table(
+            {
+                "row_idx": t[self.id_col].cast(pa.int64()),
+                "sums": pa.array(packed, type=pa.binary()),
+            }
+        )
+
+
+def audio_contour_neardup(
+    ds: "ray.data.Dataset",
+    tol: int = 5000,
+    id_col: str = "clip_idx",
+    config: Optional[EngineConfig] = None,
+    n_windows: int = 8,
+    window: int = 400,
+) -> "ray.data.Dataset":
+    """Acoustic NEAR-dup: clips whose energy contours are within integer
+    Chebyshev distance ``tol`` (max per-window |Δ sum-of-|samples||) form
+    clusters; output is ``(id_col, cluster_id, keep)`` over the transitive
+    closure — exactly the semantics a pairwise SQL closure reproduces,
+    with NO float arithmetic anywhere.
+
+    Provable recall 1.0 via shifted grids: per window, two 1-D grids of
+    cell size ``2·tol`` offset by ``tol`` guarantee any pair within
+    ``tol`` shares at least one (window, grid, cell) bucket — candidates
+    come from ONE bucketed exchange over those keys, the exact Chebyshev
+    verify runs INSIDE the bucket task (contours ride along at
+    ``8 B × n_windows`` per row, so no join hydration), and only verified
+    edges reach the global pair dedup + CC. Precision 1.0 by the in-bucket
+    verify, so pipeline and oracle pair sets are identical by
+    construction. Hot-bucket note for 100×-scale corpora: collapse exact
+    payload dups FIRST (``audio_fingerprint_dedup``) and run this over the
+    representatives — near-identical floods then bound bucket sizes the
+    same way the text pipelines' exact-dup short-circuit does."""
+    import pandas as pd
+
+    from ..functions.grouped import bucketed_group_map, dedup_pairs
+    from .dedup import _cluster_and_keep
+
+    config = config or EngineConfig()
+    tol = int(tol)
+    if tol <= 0:
+        raise ValueError("audio_contour_neardup: tol must be a positive integer")
+    contours = stage_map_batches(
+        ds, AcousticContour, (id_col, n_windows, window), config,
+        batch_format="pyarrow", batch_size=256,
+    ).materialize()
+
+    cell = 2 * tol
+    W = n_windows
+
+    def band(t: pa.Table) -> pa.Table:
+        n = len(t)
+        rows = t["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums_bin = t["sums"].to_pylist()
+        S = (
+            np.frombuffer(b"".join(sums_bin), dtype=np.uint64)
+            .reshape(n, W).astype(np.int64)
+            if n else np.empty((0, W), dtype=np.int64)
+        )
+        keys = np.empty((n, 2 * W), dtype=np.int64)
+        for w in range(W):
+            for g in range(2):
+                # (window, grid) in the top bits, grid cell below — window
+                # sums < window × 32767 ≪ 2^40
+                keys[:, 2 * w + g] = (
+                    ((2 * w + g) << 40) | ((S[:, w] + g * tol) // cell)
+                )
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1)),
+                "row_idx": pa.array(np.repeat(rows, 2 * W)),
+                "sums": pa.array(
+                    [b for b in sums_bin for _ in range(2 * W)], type=pa.binary()
+                ),
+            }
+        )
+
+    banded = contours.map_batches(band, batch_format="pyarrow")
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"left_idx": np.empty(0, np.int64),
+                              "right_idx": np.empty(0, np.int64)})
+        k = len(g)
+        if k < 2:
+            return empty
+        rows = g["row_idx"].to_numpy(dtype=np.int64)
+        S = (np.frombuffer(b"".join(g["sums"]), dtype=np.uint64)
+             .reshape(k, W).astype(np.int64))
+        out_l, out_r = [], []
+        # chunked k×k Chebyshev verify: bounded memory at any bucket size
+        for s0 in range(0, k, 512):
+            blk = S[s0:s0 + 512]
+            d = np.abs(blk[:, None, :] - S[None, :, :]).max(axis=2)
+            li, ri = np.nonzero(d <= tol)
+            li = li + s0
+            keep = li < ri  # each unordered pair once, no diagonal
+            a, b = rows[li[keep]], rows[ri[keep]]
+            out_l.append(np.minimum(a, b))
+            out_r.append(np.maximum(a, b))
+        if not out_l:
+            return empty
+        return pd.DataFrame(
+            {"left_idx": np.concatenate(out_l), "right_idx": np.concatenate(out_r)}
+        )
+
+    pairs = bucketed_group_map(banded, ["band_key"], pairs_in_bucket)
+    edges = dedup_pairs(pairs, ["left_idx", "right_idx"])
+    return _cluster_and_keep(edges, contours, id_col, config)

@@ -353,3 +353,53 @@ def test_audio_fingerprint_dedup_payload_dups():
     got = fp(short)["fingerprint"].to_pylist()
     assert got[0] != got[1]
     assert got[0].endswith("-0-0-0-0-0-0")  # padded windows quantize to 0
+
+
+def test_audio_contour_neardup_matches_bruteforce():
+    """Shifted-grid banding recall is provably 1.0 and the in-bucket verify
+    makes precision 1.0 — so the pipeline's clusters must equal the
+    brute-force pairwise-Chebyshev closure on an arbitrary fixture."""
+    import ray
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import audio_contour_neardup
+    from string_grouper_ray.sources.synth import tone_clip_table
+    from string_grouper_ray.sources.audio import decode_wav
+
+    n, tol = 80, 20000
+    t = tone_clip_table(n)
+    t = t.append_column("clip_idx", pa.array(np.arange(n, dtype=np.int64)))
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    out = (
+        audio_contour_neardup(ray.data.from_arrow(t), tol=tol, config=cfg)
+        .to_pandas().sort_values("clip_idx").reset_index(drop=True)
+    )
+    # brute force: contours + Chebyshev closure via python union-find
+    S = []
+    for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
+        pcm, _ = decode_wav(data, codec)
+        ints = np.abs(np.rint(pcm[:3200] * 32767.0).astype(np.int64))
+        S.append(ints.reshape(8, 400).sum(axis=1))
+    S = np.array(S)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if np.abs(S[i] - S[j]).max() <= tol:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    expect = np.array([find(i) for i in range(n)])
+    # canonicalize: min member per component
+    for i in range(n):
+        expect[i] = find(i)
+    got = out["cluster_id"].to_numpy()
+    assert np.array_equal(got, expect)
+    assert bool((out["keep"].to_numpy() == (got == out["clip_idx"].to_numpy())).all())
