@@ -687,6 +687,39 @@ def _q_audio_contour_neardup(sf_dir: str):
     )
 
 
+def _q_clip_crossmodal_dedup(sf_dir: str):
+    """Cross-modal entity resolution over audio+transcript pairs: the
+    tone fixture with ``param_mod=120`` (acoustic classes ``i % 120``,
+    plus the 8 quantization-boundary merges) and ``text_mod=90`` (text
+    classes ``i % 90`` under three surface variants that all normalize
+    equal). Edges = same-normalized-transcript OR same-acoustic-
+    fingerprint; clusters = transitive closure of the union, so chains
+    like ``0 ~ 90 ~ 180`` (text) crossing ``0 ~ 120`` (audio) merge —
+    the policy neither single-modality dedup can express. Both keys are
+    pure integer/string functions of ``i``, so the DuckDB oracle
+    recomputes the identical closure."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import crossmodal_dedup
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    t = tone_clip_table(200, param_mod=120, text_mod=90)
+    t = t.append_column("clip_idx", pa.array(np.arange(200, dtype=np.int64)))
+    out = crossmodal_dedup(
+        ray.data.from_arrow(t), _cfg(use_actor_pools=False)
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "clip_idx": b["clip_idx"].cast(pa.int64()),
+                "cluster_id": b["cluster_id"].cast(pa.int64()),
+                "keep": b["keep"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -735,6 +768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_pipeline": _q_frame_pipeline,
         "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
         "audio_contour_neardup": _q_audio_contour_neardup,
+        "clip_crossmodal_dedup": _q_clip_crossmodal_dedup,
     }
 
 
@@ -1217,6 +1251,48 @@ FROM documents
             "           UNION ALL SELECT r AS l, l AS r FROM edges0),"
             " reach(id, rr) AS ("
             "  SELECT i, i FROM clips"
+            "  UNION"
+            "  SELECT e.r, reach.rr FROM reach JOIN edges e ON e.l = reach.id),"
+            " comp AS (SELECT id, min(rr) AS comp_id FROM reach GROUP BY id)"
+            " SELECT CAST(id AS BIGINT) AS clip_idx,"
+            "        CAST(comp_id AS BIGINT) AS cluster_id,"
+            "        (id = comp_id) AS keep"
+            " FROM comp"
+        ),
+        # cross-modal union dedup: both keys are pure functions of i —
+        # acoustic fingerprint recomputed from the sawtooth formula (same
+        # CTE as audio_fingerprint_dedup, classes i % 120), normalized
+        # transcript recomputed as the template of i % 90 (the fixture's
+        # three surface variants all normalize to exactly this) — then
+        # star edges per key, union, recursive min-label closure
+        "clip_crossmodal_dedup": (
+            "WITH RECURSIVE clips AS ("
+            "  SELECT i, 97 + 2*((i % 120) % 50) AS a,"
+            "         ((i % 120) * 997) % 24576 AS b"
+            "  FROM range(200) t(i)),"
+            " sums AS ("
+            "  SELECT c.i, r.range // 400 AS w,"
+            "         SUM(ABS((c.a * r.range + c.b) % 24576 - 12288)) AS s"
+            "  FROM clips c CROSS JOIN range(3200) r"
+            "  GROUP BY c.i, r.range // 400),"
+            " keys AS ("
+            "  SELECT i,"
+            "         printf('session %04d take %d', i % 90, (i % 90) % 7)"
+            "           AS tkey,"
+            "         (SELECT string_agg(CAST(s // (400*64) AS VARCHAR), '-'"
+            "                            ORDER BY w)"
+            "          FROM sums WHERE sums.i = clips.i) AS akey"
+            "  FROM clips),"
+            " e0 AS ("
+            "  SELECT x.i AS l, y.i AS r FROM keys x JOIN keys y"
+            "    ON x.tkey = y.tkey AND x.i < y.i"
+            "  UNION"
+            "  SELECT x.i AS l, y.i AS r FROM keys x JOIN keys y"
+            "    ON x.akey = y.akey AND x.i < y.i),"
+            " edges AS (SELECT l, r FROM e0"
+            "           UNION ALL SELECT r AS l, l AS r FROM e0),"
+            " reach(id, rr) AS ("
+            "  SELECT i, i FROM keys"
             "  UNION"
             "  SELECT e.r, reach.rr FROM reach JOIN edges e ON e.l = reach.id),"
             " comp AS (SELECT id, min(rr) AS comp_id FROM reach GROUP BY id)"

@@ -477,3 +477,109 @@ def audio_contour_neardup(
     pairs = bucketed_group_map(banded, ["band_key"], pairs_in_bucket)
     edges = dedup_pairs(pairs, ["left_idx", "right_idx"])
     return _cluster_and_keep(edges, contours, id_col, config)
+
+
+class CrossModalKeys:
+    """Decode + per-row dedup keys for BOTH modalities in one pass over
+    the wide rows: the quantized acoustic energy-contour fingerprint
+    (:class:`AcousticFingerprint`'s integer feature) and the normalized
+    transcript (lower + whitespace-collapse + trim). One actor-pool stage
+    touches the binary payload; everything downstream is narrow."""
+
+    def __init__(self, id_col: str, n_windows: int = 8, window: int = 400,
+                 bucket: int = 64):
+        self.id_col = id_col
+        self.n_windows = n_windows
+        self.window = window
+        self.bucket = bucket
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        span = self.n_windows * self.window
+        fps = []
+        for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
+            pcm, _sr = decode_wav(data, codec)
+            ints = np.abs(np.rint(pcm[:span] * 32767.0).astype(np.int64))
+            if len(ints) < span:
+                ints = np.pad(ints, (0, span - len(ints)))
+            sums = ints.reshape(self.n_windows, self.window).sum(axis=1)
+            q = sums // (self.window * self.bucket)
+            fps.append("-".join(str(int(v)) for v in q))
+        tkey = pc.utf8_lower(
+            pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(t["transcript"]), r"\s+", " "
+            )
+        )
+        return pa.table(
+            {
+                "row_idx": t[self.id_col].cast(pa.int64()),
+                "text_key": tkey,
+                "audio_key": pa.array(fps, type=pa.string()),
+            }
+        )
+
+
+def crossmodal_dedup(
+    ds: "ray.data.Dataset",
+    config: Optional[EngineConfig] = None,
+    id_col: str = "clip_idx",
+    n_windows: int = 8,
+    window: int = 400,
+    bucket: int = 64,
+) -> "ray.data.Dataset":
+    """Cross-modal entity resolution over (audio, transcript) pairs: two
+    clips are duplicates if their NORMALIZED transcripts are equal OR
+    their acoustic energy-contour fingerprints are equal; clusters are
+    the transitive closure (connected components) of the UNION of both
+    edge sets, output as ``(id_col, cluster_id, keep=min-of-cluster)``.
+
+    This is the dedup policy transcript-only pipelines cannot express:
+    the same recording re-posted under a rewritten transcript AND the
+    same transcript re-recorded by another speaker both collapse, and
+    chains across modalities (A~B by audio, B~C by text) merge
+    transitively — classic cross-source entity resolution.
+
+    Scale shape: ONE actor-pool pass decodes payloads into narrow
+    ``(row_idx, text_key, audio_key)`` rows; each modality contributes
+    star edges (rep=min per key, k-1 edges per k-row key group — linear,
+    never quadratic) from a hash-bucketed group map; the edge union feeds
+    the same distributed CC as every other dedup. Empty-after-normalize
+    transcripts match nothing (an absent modality carries no evidence).
+    Exact-key star emission makes recall/precision structural, so a SQL
+    oracle recomputing both keys reproduces the partition exactly."""
+    import pandas as pd
+
+    from ..functions.grouped import bucketed_group_map, dedup_pairs
+    from .dedup import _cluster_and_keep
+
+    config = config or EngineConfig()
+    keys = stage_map_batches(
+        ds, CrossModalKeys, (id_col, n_windows, window, bucket), config,
+        batch_format="pyarrow", batch_size=256,
+    ).materialize()  # read once: both edge passes and the CC node list use it
+
+    def _star_edges(key_col: str, drop_empty: bool) -> "ray.data.Dataset":
+        def stars(g: pd.DataFrame) -> pd.DataFrame:
+            if drop_empty:
+                g = g[g[key_col].str.len() > 0]
+            if not len(g):
+                return pd.DataFrame(
+                    {"left_idx": np.empty(0, np.int64),
+                     "right_idx": np.empty(0, np.int64)}
+                )
+            idx = g["row_idx"].to_numpy(dtype=np.int64)
+            reps = g.groupby(key_col, sort=False)["row_idx"].transform("min")
+            reps = reps.to_numpy(dtype=np.int64)
+            m = idx != reps
+            return pd.DataFrame({"left_idx": reps[m], "right_idx": idx[m]})
+
+        return bucketed_group_map(
+            keys.select_columns([key_col, "row_idx"]), [key_col], stars
+        )
+
+    pairs = _star_edges("text_key", drop_empty=True).union(
+        _star_edges("audio_key", drop_empty=False)
+    )
+    edges = dedup_pairs(pairs, ["left_idx", "right_idx"])
+    return _cluster_and_keep(edges, keys, id_col, config)

@@ -154,7 +154,12 @@ def generate_clip_table(
     return pa.table({k: cols[k] for k in order if k in cols})
 
 
-def tone_clip_table(n: int, sr_hz: int = 16000, param_mod: "int | None" = None) -> pa.Table:
+def tone_clip_table(
+    n: int,
+    sr_hz: int = 16000,
+    param_mod: "int | None" = None,
+    text_mod: "int | None" = None,
+) -> pa.Table:
     """SQL-expressible deterministic audio fixture: clip ``i`` is an integer
     sawtooth directly in PCM16 space,
 
@@ -171,13 +176,35 @@ def tone_clip_table(n: int, sr_hz: int = 16000, param_mod: "int | None" = None) 
     the clip id stays ``i`` — clips ``i`` and ``i + param_mod`` become
     bit-identical ACOUSTIC duplicates under distinct ids (the fixture for
     payload-level dedup; transcripts are all empty, so transcript-level
-    dedup cannot distinguish them)."""
+    dedup cannot distinguish them).
+
+    ``text_mod``: transcripts derive from ``t = i % text_mod`` as the
+    template ``"session %04d take %d" % (t, t % 7)`` under one of three
+    surface variants chosen by ``i % 3`` (as-is / UPPER / double-spaced
+    Title Case). All three normalize to the same key under
+    lower+whitespace-collapse, so the normalized transcript key is the
+    pure function of ``t`` a SQL oracle recomputes directly — the
+    cross-modal dedup fixture, where text classes (mod ``text_mod``) and
+    acoustic classes (mod ``param_mod``) interleave into nontrivial
+    transitive closures."""
     import io
     import wave
 
-    ids, payloads, durs = [], [], []
+    ids, payloads, durs, texts = [], [], [], []
     for i in range(n):
         j = i % param_mod if param_mod else i
+        if text_mod:
+            tj = i % text_mod
+            base = f"session {tj:04d} take {tj % 7}"
+            v = i % 3
+            if v == 1:
+                texts.append(base.upper())
+            elif v == 2:
+                texts.append(base.title().replace(" ", "  "))
+            else:
+                texts.append(base)
+        else:
+            texts.append("")
         dur_ms = 200 + 40 * (j % 30)
         k = np.arange(sr_hz * dur_ms // 1000, dtype=np.int64)
         a = 97 + 2 * (j % 50)
@@ -199,7 +226,7 @@ def tone_clip_table(n: int, sr_hz: int = 16000, param_mod: "int | None" = None) 
             "sr_hz": pa.array(np.full(n, sr_hz, dtype=np.int32)),
             "dur_ms": pa.array(np.asarray(durs, dtype=np.int32)),
             "codec": pa.array(["pcm_s16le"] * n, type=pa.string()),
-            "transcript": pa.array([""] * n, type=pa.string()),
+            "transcript": pa.array(texts, type=pa.string()),
         }
     )
 

@@ -403,3 +403,86 @@ def test_audio_contour_neardup_matches_bruteforce():
     got = out["cluster_id"].to_numpy()
     assert np.array_equal(got, expect)
     assert bool((out["keep"].to_numpy() == (got == out["clip_idx"].to_numpy())).all())
+
+
+def test_crossmodal_dedup_union_closure():
+    """Cross-modal dedup = CC over (same normalized transcript) OR (same
+    acoustic fingerprint): must equal a brute-force union-find over the
+    two key columns, merge chains ACROSS modalities, and treat
+    empty-after-normalize transcripts as matching nothing."""
+    import ray
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import (
+        CrossModalKeys,
+        crossmodal_dedup,
+    )
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    n = 120
+    t = tone_clip_table(n, param_mod=48, text_mod=36)
+    # blank out a band of transcripts: rows 100.. have audio-only evidence
+    texts = t["transcript"].to_pylist()
+    for i in range(100, n):
+        texts[i] = "   "  # whitespace-only -> empty after normalize
+    t = t.set_column(
+        t.schema.get_field_index("transcript"),
+        "transcript",
+        pa.array(texts, type=pa.string()),
+    )
+    t = t.append_column("clip_idx", pa.array(np.arange(n, dtype=np.int64)))
+
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    out = (
+        crossmodal_dedup(ray.data.from_arrow(t), cfg)
+        .to_pandas().sort_values("clip_idx").reset_index(drop=True)
+    )
+    assert len(out) == n
+
+    # brute-force union-find over the same keys
+    keys = CrossModalKeys("clip_idx")(t)
+    tkey = keys["text_key"].to_pylist()
+    akey = keys["audio_key"].to_pylist()
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for km, drop_empty in ((tkey, True), (akey, False)):
+        first = {}
+        for i, k in enumerate(km):
+            if drop_empty and not k:
+                continue
+            if k in first:
+                union(first[k], i)
+            else:
+                first[k] = i
+    expect = np.array([find(i) for i in range(n)], dtype=np.int64)
+    # min-label canonical form on both sides
+    got = out["cluster_id"].to_numpy()
+    assert (got == expect).all()
+    assert (out["keep"].to_numpy() == (got == np.arange(n))).all()
+
+    # cross-modal transitivity really occurred: some cluster spans rows
+    # that share NO single-modality key directly
+    merged_ct = len(np.unique(expect))
+    text_only = len({k for k in tkey if k}) + sum(1 for k in tkey if not k)
+    audio_only = len(set(akey))
+    assert merged_ct < min(text_only, audio_only)
+
+    # direct unit check of the empty-transcript rule: a 2-row table,
+    # blank texts, different audio -> two singleton clusters
+    t2 = tone_clip_table(2, text_mod=None)
+    t2 = t2.append_column("clip_idx", pa.array(np.arange(2, dtype=np.int64)))
+    out2 = crossmodal_dedup(ray.data.from_arrow(t2), cfg).to_pandas()
+    assert out2["cluster_id"].nunique() == 2
+    assert out2["keep"].all()
