@@ -105,23 +105,44 @@ def dedup_clip_table(
     _tmark("narrow_read")
 
     def compute_edges():
+        cont_box: dict = {}
+        cont_thread = None
+        if with_containment:
+            import threading
+
+            # the containment pass depends only on the narrow table, so its
+            # sort exchange (parallelism-independent latency) runs in a
+            # driver thread CONCURRENTLY with the whole match chain instead
+            # of serializing inside the downstream edge collect
+            def _build_cont():
+                try:
+                    # distinct-norm star edges suffice for clustering when
+                    # the exact-dup short-circuit connects identical norms
+                    # to a rep; the all-pairs default would go quadratic on
+                    # popular truncations of popular transcripts
+                    cont_box["ds"] = containment_edges(
+                        narrow.select_columns(["row_idx", "text"]), config,
+                        "text", distinct=config.exact_dup_shortcircuit,
+                    ).materialize()
+                except BaseException as exc:
+                    cont_box["err"] = exc
+
+            cont_thread = threading.Thread(
+                target=_build_cont, name="containment-edges", daemon=True
+            )
+            cont_thread.start()
         edges, _vocab = match_edges(
             narrow.select_columns(["row_idx", "text"]), None, config
         )
-        if with_containment:
-            # distinct-norm star edges suffice for clustering when the
-            # exact-dup short-circuit connects identical norms to a rep;
-            # the all-pairs default would go quadratic on popular
-            # truncations of popular transcripts
-            cont = containment_edges(
-                narrow.select_columns(["row_idx", "text"]), config, "text",
-                distinct=config.exact_dup_shortcircuit,
-            )
+        if cont_thread is not None:
+            cont_thread.join()
+            if "err" in cont_box:
+                raise cont_box["err"]
             # NOT deduped here: group_assignments(dedup_edges=True) merges
             # duplicate (l, r) rows on the driver below the CC threshold
             # (numpy lexsort on edges it collects anyway) and only pays the
             # distributed dedup shuffle above it
-            edges = edges.union(cont)
+            edges = edges.union(cont_box["ds"])
         return edges
 
     edges = ckpt.stage("edges", compute_edges)

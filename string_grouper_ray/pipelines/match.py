@@ -222,6 +222,33 @@ def symmetrize_edges(
     return dedup_pairs(unioned, ["left_idx", "right_idx"], agg_col="similarity")
 
 
+class _VocabSupplier:
+    """Lazy, thread-safe vocabulary fit: ``supplier()`` fits on first call
+    (under a lock) and returns the broadcast ``ObjectRef``; later calls are
+    instant. LSH stages call it from the overlap threads, so the fit's
+    exchange latency hides under the banding chain; ``.vocab`` exposes the
+    fitted object for ``match_edges``'s return value."""
+
+    def __init__(self, datasets, text_col: str, config, vocab=None):
+        import threading
+
+        self._lock = threading.Lock()
+        self._datasets = datasets
+        self._text_col = text_col
+        self._config = config
+        self.vocab = vocab
+        self._ref = ray.put(vocab) if vocab is not None else None
+
+    def __call__(self):
+        with self._lock:
+            if self._ref is None:
+                self.vocab = fit_vocabulary(
+                    self._datasets, self._text_col, self._config
+                )
+                self._ref = ray.put(self.vocab)
+            return self._ref
+
+
 def match_edges(
     left: "ray.data.Dataset",
     right: Optional["ray.data.Dataset"],
@@ -239,16 +266,31 @@ def match_edges(
     from ..stages.lsh import StageTimer
     _tmark = StageTimer("match")
     _tmark("match_edges_start")
-    if vocab is None:
-        vocab = fit_vocabulary([left] if self_join else [left, right], text_col, config)
-    vocab_ref = ray.put(vocab)
-    _tmark("fit_vocabulary")
 
     if config.strategy == "lsh":
         from ..stages.lsh import lsh_match_edges
 
-        edges = lsh_match_edges(left, right, vocab_ref, config, text_col, tmark=_tmark)
+        # The vocabulary feeds only the TF-IDF verify stages, not banding —
+        # hand LSH a lazy supplier so the fit (one aggregate exchange +
+        # driver collect, parallelism-independent latency) overlaps the
+        # exact-dup collapse / banding / census chain instead of serializing
+        # in front of it. The supplier closes over the ORIGINAL sides, so
+        # document frequencies still count every row (incl. exact dups),
+        # exactly as the eager fit did.
+        supplier = _VocabSupplier(
+            [left] if self_join else [left, right], text_col, config, vocab
+        )
+        _tmark("fit_vocabulary")  # deferred: overlapped inside the LSH chain
+        edges = lsh_match_edges(left, right, supplier, config, text_col, tmark=_tmark)
+        vocab = supplier.vocab
+        assert vocab is not None  # every LSH route resolves the supplier
     else:
+        if vocab is None:
+            vocab = fit_vocabulary(
+                [left] if self_join else [left, right], text_col, config
+            )
+        vocab_ref = ray.put(vocab)
+        _tmark("fit_vocabulary")
         if self_join:
             # encode once: the same vectorized dataset feeds both the
             # broadcast right chunks and the streaming left side

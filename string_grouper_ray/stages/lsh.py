@@ -975,10 +975,41 @@ def lsh_match_edges(
     text_col: str = "text",
     tmark: Optional[StageTimer] = None,
 ) -> "ray.data.Dataset":
-    """MinHash/LSH candidates → exact-cosine verify → top-N edge list."""
+    """MinHash/LSH candidates → exact-cosine verify → top-N edge list.
+
+    ``vocab_ref`` is either a ready ``ObjectRef`` or a callable supplier
+    (``_VocabSupplier``): the vocabulary feeds only the TF-IDF verify, so
+    a supplier lets the fit run CONCURRENTLY with the exact-dup collapse /
+    banding / census stages (a prefetch thread resolves it immediately;
+    consumers block on the lock only if they outrun it)."""
     cross = right is not None
     _tmark = tmark or StageTimer()
     _tmark("start")
+
+    if callable(vocab_ref):
+        import threading as _threading
+
+        _supplier = vocab_ref
+
+        def _vocab_ref():
+            return _supplier()
+
+        def _prefetch():
+            try:
+                _supplier()
+            except BaseException:
+                # leave the error for a consumer-thread call, which
+                # re-attempts the (pure) fit and raises where it's handled
+                pass
+
+        _threading.Thread(
+            target=_prefetch, name="vocab-fit-prefetch", daemon=True
+        ).start()
+    else:
+        _ready_ref = vocab_ref
+
+        def _vocab_ref():
+            return _ready_ref
 
     exact_edges = None
     if config.exact_dup_shortcircuit and not cross:
@@ -1049,7 +1080,7 @@ def lsh_match_edges(
         return stage_map_batches(
             src.select_columns(["row_idx", text_col]),
             TfidfEncoder,
-            (vocab_ref, config, text_col),
+            (_vocab_ref(), config, text_col),
             config,
             batch_format="pyarrow",
             batch_size=config.batch_size,
@@ -1070,7 +1101,7 @@ def lsh_match_edges(
 
         def _build_csr():
             try:
-                vocab_size = ray.get(vocab_ref).size
+                vocab_size = ray.get(_vocab_ref()).size
                 l_state = collect_row_csr(_vec_ds(left), vocab_size)
                 r_state = (
                     collect_row_csr(_vec_ds(right), vocab_size) if cross else None
@@ -1718,7 +1749,7 @@ def lsh_match_edges(
         )
         _bundle_n = bundle_for(n_left + n_right)
         verified = bucketed_group_map(
-            tagged, ["pkey", "salt"], _make_mset_verify(vocab_ref, config, cross),
+            tagged, ["pkey", "salt"], _make_mset_verify(_vocab_ref(), config, cross),
             bundle_rows=_bundle_n, bucket_format="pyarrow",
         ).materialize()
         # free the widest intermediates (packed msets + text-carrying refs)
