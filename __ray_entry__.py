@@ -720,6 +720,23 @@ def _q_clip_crossmodal_dedup(sf_dir: str):
     )
 
 
+def _q_vad_segments(sf_dir: str):
+    """Energy-gated VAD segmentation over the GATED tone fixture
+    (``gate_samples=800``: every third 800-sample window silenced, so each
+    clip alternates 100 ms speech / 50 ms silence). A frame (400 samples,
+    25 ms) is active iff ``sum(|int16|) >= 64*400`` — a pure integer
+    predicate over formula samples — and maximal active runs become
+    segment rows, so the DuckDB oracle reproduces the exact row set with
+    a gaps-and-islands closure (row_number difference grouping)."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import vad_segments
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    ds = ray.data.from_arrow(tone_clip_table(200, gate_samples=800))
+    return vad_segments(ds, _cfg(use_actor_pools=False))
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -769,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fingerprint_dedup": _q_audio_fingerprint_dedup,
         "audio_contour_neardup": _q_audio_contour_neardup,
         "clip_crossmodal_dedup": _q_clip_crossmodal_dedup,
+        "vad_segments": _q_vad_segments,
     }
 
 
@@ -1300,5 +1318,39 @@ FROM documents
             "        CAST(comp_id AS BIGINT) AS cluster_id,"
             "        (id = comp_id) AS keep"
             " FROM comp"
+        ),
+        # VAD segmentation: frame activity is an integer predicate over the
+        # gated sawtooth formula; segments = gaps-and-islands over active
+        # frames (row_number difference grouping), trailing partial frame
+        # dropped by the n_frames*400 bound, ms = frame * 25
+        "vad_segments": (
+            "WITH clips AS ("
+            "  SELECT i, printf('tone-%06d', i) AS clip_id,"
+            "         97 + 2*(i % 50) AS a, (i * 997) % 24576 AS b,"
+            "         200 + 40*(i % 30) AS dur"
+            "  FROM range(200) t(i)),"
+            " frames AS ("
+            "  SELECT c.i, c.clip_id, r.range // 400 AS f,"
+            "         SUM(CASE WHEN ((r.range // 800) % 3) = 2 THEN 0"
+            "             ELSE ABS((c.a * r.range + c.b) % 24576 - 12288)"
+            "             END) AS s"
+            "  FROM clips c JOIN range(32000) r"
+            "    ON r.range < ((16 * c.dur) // 400) * 400"
+            "  GROUP BY c.i, c.clip_id, r.range // 400),"
+            " isl AS ("
+            "  SELECT i, clip_id, f, (s >= 64*400) AS act,"
+            "         f - row_number() OVER ("
+            "               PARTITION BY i, (s >= 64*400) ORDER BY f) AS grp"
+            "  FROM frames),"
+            " segs AS ("
+            "  SELECT i, clip_id, min(f) AS fs, max(f) + 1 AS fe"
+            "  FROM isl WHERE act GROUP BY i, clip_id, grp)"
+            " SELECT clip_id,"
+            "        CAST(row_number() OVER (PARTITION BY i ORDER BY fs) - 1"
+            "             AS BIGINT) AS seg_idx,"
+            "        CAST(fs * 25 AS BIGINT) AS start_ms,"
+            "        CAST(fe * 25 AS BIGINT) AS end_ms,"
+            "        CAST(fe - fs AS BIGINT) AS n_frames"
+            " FROM segs"
         ),
     }

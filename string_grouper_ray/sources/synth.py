@@ -159,6 +159,7 @@ def tone_clip_table(
     sr_hz: int = 16000,
     param_mod: "int | None" = None,
     text_mod: "int | None" = None,
+    gate_samples: "int | None" = None,
 ) -> pa.Table:
     """SQL-expressible deterministic audio fixture: clip ``i`` is an integer
     sawtooth directly in PCM16 space,
@@ -186,7 +187,13 @@ def tone_clip_table(
     pure function of ``t`` a SQL oracle recomputes directly — the
     cross-modal dedup fixture, where text classes (mod ``text_mod``) and
     acoustic classes (mod ``param_mod``) interleave into nontrivial
-    transitive closures."""
+    transitive closures.
+
+    ``gate_samples``: when set, every third gate window is silenced —
+    sample ``k`` is zeroed iff ``(k // gate_samples) % 3 == 2`` — giving
+    each clip a deterministic speech/silence alternation (the VAD /
+    segmentation fixture; the gate is a pure integer predicate a SQL
+    oracle applies to the same formula samples)."""
     import io
     import wave
 
@@ -210,6 +217,8 @@ def tone_clip_table(
         a = 97 + 2 * (j % 50)
         b = (j * 997) % 24576
         ints = ((a * k + b) % 24576 - 12288).astype(np.int16)
+        if gate_samples:
+            ints = np.where((k // gate_samples) % 3 == 2, 0, ints).astype(np.int16)
         buf = io.BytesIO()
         with wave.open(buf, "wb") as w:
             w.setnchannels(1)

@@ -486,3 +486,87 @@ def test_crossmodal_dedup_union_closure():
     out2 = crossmodal_dedup(ray.data.from_arrow(t2), cfg).to_pandas()
     assert out2["cluster_id"].nunique() == 2
     assert out2["keep"].all()
+
+
+def test_vad_segments_matches_bruteforce():
+    """AudioVAD's vectorized run detection must equal a per-clip brute
+    force, emit nothing for silent or sub-frame clips, and honor
+    min_frames."""
+    import io
+    import wave
+
+    import ray
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import AudioVAD, vad_segments
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    t = tone_clip_table(40, gate_samples=800)
+    vad = AudioVAD(frame=400, threshold=64, min_frames=1)
+    got = vad(t).to_pandas()
+
+    # brute force from the generating formula
+    import numpy as np
+
+    rows = []
+    for i in range(40):
+        dur = 200 + 40 * (i % 30)
+        k = np.arange(16 * dur, dtype=np.int64)
+        a, b = 97 + 2 * (i % 50), (i * 997) % 24576
+        ints = np.abs((a * k + b) % 24576 - 12288)
+        ints[(k // 800) % 3 == 2] = 0
+        nf = len(ints) // 400
+        act = ints[: nf * 400].reshape(nf, 400).sum(axis=1) >= 64 * 400
+        seg, s = 0, None
+        for f in range(nf + 1):
+            on = f < nf and act[f]
+            if on and s is None:
+                s = f
+            elif not on and s is not None:
+                rows.append((f"tone-{i:06d}", seg, s * 25, f * 25, f - s))
+                seg += 1
+                s = None
+    import pandas as pd
+
+    exp = pd.DataFrame(
+        rows, columns=["clip_id", "seg_idx", "start_ms", "end_ms", "n_frames"]
+    )
+    got = got.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
+    exp = exp.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # min_frames filters short runs (the 2-frame trailing runs vanish at 3)
+    got3 = AudioVAD(frame=400, threshold=64, min_frames=3)(t).to_pandas()
+    assert (got3["n_frames"] >= 3).all()
+    assert len(got3) < len(got)
+
+    def wav(ints):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(np.asarray(ints, dtype=np.int16).tobytes())
+        return buf.getvalue()
+
+    # silent clip and sub-frame clip emit no rows; dataset path agrees
+    edge = pa.table(
+        {
+            "clip_id": pa.array(["silent", "short", "loud"]),
+            "bytes": pa.array(
+                [wav([0] * 4000), wav([30000] * 100), wav([30000] * 1200)],
+                type=pa.binary(),
+            ),
+            "codec": pa.array(["pcm_s16le"] * 3),
+        }
+    )
+    out = vad(edge).to_pandas()
+    assert set(out["clip_id"]) == {"loud"}
+    assert out.iloc[0]["n_frames"] == 3  # 1200 samples = 3 full frames
+
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    ds_out = vad_segments(ray.data.from_arrow(edge), cfg).to_pandas()
+    pd.testing.assert_frame_equal(
+        ds_out.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True),
+        out.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True),
+        check_dtype=False,
+    )
