@@ -222,6 +222,45 @@ def _q_containment_part(sf_dir: str):
     )
 
 
+def _q_substring_part(sf_dir: str):
+    """MID-STRING substring containment (the full suffix-array pass of the
+    north rule) over part names UNION deterministic interior extractions
+    (every 10th part: raw chars [3, 3+ceil(0.75·len)) — NOT a prefix, so
+    the prefix pass alone would miss these). The oracle is the brute
+    ``strpos`` closure with the identical length/ratio predicates over the
+    same normalized strings."""
+    from string_grouper_ray.stages.suffixstage import substring_containment_edges
+
+    ds = _docs_ds(sf_dir, "part", "p_partkey", "p_name")
+
+    def with_extractions(t: pa.Table) -> pa.Table:
+        ids = t["row_idx"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        add_ids, add_txt = [], []
+        for i, s in zip(ids.tolist(), texts):
+            if i % 10 == 0:
+                # SQL substring(t, 3, ceil(0.75*len)) is 1-based: chars [2, 2+k)
+                k = -(-3 * len(s) // 4)
+                add_ids.append(i + 1_000_000)
+                add_txt.append(s[2 : 2 + k])
+        return pa.table(
+            {
+                "row_idx": pa.array(list(ids) + add_ids, type=pa.int64()),
+                "text": pa.array(texts + add_txt, type=pa.string()),
+            }
+        )
+
+    ds = ds.map_batches(with_extractions, batch_format="pyarrow")
+    out = substring_containment_edges(ds, _cfg(), "text", min_len=6)
+    df = out.to_pandas()
+    return pa.table(
+        {
+            "left_id": pa.array(df.get("left_idx", []), type=pa.int64()),
+            "right_id": pa.array(df.get("right_idx", []), type=pa.int64()),
+        }
+    )
+
+
 def _q_dedup_exact_docs(sf_dir: str):
     import ray.data
 
@@ -787,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_contour_neardup": _q_audio_contour_neardup,
         "clip_crossmodal_dedup": _q_clip_crossmodal_dedup,
         "vad_segments": _q_vad_segments,
+        "substring_part": _q_substring_part,
     }
 
 
@@ -901,6 +941,25 @@ dots AS (
 )
 SELECT p.p_partkey AS id, round(coalesce(d.sim, 0.0), 4) AS similarity
 FROM part p LEFT JOIN dots d ON p.p_partkey = d.id
+"""
+
+    substring_sql = r"""
+WITH docs0 AS (
+    SELECT p_partkey AS id, p_name AS t FROM part
+    UNION ALL
+    SELECT p_partkey + 1000000 AS id,
+           substring(p_name, 3, CAST(ceil(0.75 * length(p_name)) AS INTEGER)) AS t
+    FROM part WHERE p_partkey % 10 = 0
+),
+docs AS (
+    SELECT id, regexp_replace(lower(t), '[,-./\s]', '', 'g') AS s FROM docs0
+)
+SELECT DISTINCT least(a.id, b.id) AS left_id, greatest(a.id, b.id) AS right_id
+FROM docs a JOIN docs b
+  ON a.id <> b.id
+ AND length(a.s) >= 6 AND length(b.s) > length(a.s)
+ AND length(a.s) >= 0.6 * length(b.s)
+ AND strpos(b.s, a.s) > 0
 """
 
     containment_sql = r"""
@@ -1188,6 +1247,7 @@ FROM documents
         "nearest_part": nearest_sql,
         "pairwise_part": pairwise_sql,
         "containment_part": containment_sql,
+        "substring_part": substring_sql,
         "dedup_exact_docs": "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
         "dedup_minhash_docs": minhash_sql,
         # prod config: same closure — precision is structural (true-Jaccard

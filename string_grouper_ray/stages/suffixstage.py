@@ -141,3 +141,117 @@ def containment_edges(
         return _prefix_scan(df["norm"].tolist(), df["row_idx"].tolist(), min_len)
 
     return bucketed_group_map(keyed, ["pfx"], scan_bucket)
+
+
+def substring_containment_edges(
+    ds: "ray.data.Dataset",
+    config: Optional[EngineConfig] = None,
+    text_col: str = "text",
+    min_len: int = 6,
+    min_ratio: float = 0.6,
+    max_doc_chars: int = 4096,
+) -> "ray.data.Dataset":
+    """Edges (left_idx, right_idx, similarity=1.0) for containment
+    ANYWHERE: norm(A) appears as a substring of norm(B) — the full
+    "suffix-array substring pass" of the north rule, strictly superset of
+    the prefix pass (:func:`containment_edges` remains the cheap default
+    the flagship uses; this operator is the completeness option).
+
+    Distributed suffix-array formulation without a global array:
+    A ⊑ B iff norm(A) is a PREFIX of some suffix of norm(B). Every doc
+    emits (a) its full norm as a "needle" row and (b) all suffixes of
+    length ≥ ``min_len`` as "container evidence" rows; rows co-locate by
+    their first ``min_len`` chars (a needle and any suffix it prefixes
+    share them by construction), and a per-bucket lexicographic scan with
+    a needle stack emits containments — each (A, B) pair surfaces only in
+    the needle's single bucket, so a per-bucket pair dedup is global.
+
+    Cost bound (stated, not silent): suffix emission is O(len²/2) BYTES
+    per doc — fine for transcript/title-length strings, quadratic for
+    book-length ones. Docs longer than ``max_doc_chars`` do not emit
+    suffixes (they can still be contained via their needle; a count is
+    logged), and at 100×-scale you run this over exact-dup
+    representatives, as the flagship does for every candidate stage.
+
+    ``min_ratio``: as in the prefix pass, the contained norm must cover
+    at least this fraction of the CONTAINER's full norm."""
+    config = config or EngineConfig()
+    from ..functions.grouped import bucketed_group_map
+    from ..functions.stagemap import stage_map_batches
+
+    norm = stage_map_batches(
+        ds, _Normalize, (config, text_col), config,
+        batch_format="pyarrow", batch_size=config.batch_size,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = t["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        norms = t["norm"].to_pylist()
+        o_row, o_s, o_clen, o_kind = [], [], [], []
+        skipped = 0
+        for r, s in zip(rows.tolist(), norms):
+            L = len(s)
+            if L < min_len:
+                continue
+            o_row.append(r); o_s.append(s); o_clen.append(L); o_kind.append(0)
+            if L > max_doc_chars:
+                skipped += 1
+                continue
+            for off in range(0, L - min_len + 1):
+                o_row.append(r); o_s.append(s[off:])
+                o_clen.append(L); o_kind.append(1)
+        if skipped:
+            print(
+                f"substring_containment: {skipped} docs over "
+                f"{max_doc_chars} chars emitted no suffixes (needles only)",
+                flush=True,
+            )
+        return pa.table(
+            {
+                "row_idx": pa.array(np.asarray(o_row, dtype=np.int64)),
+                "s": pa.array(o_s, type=pa.string()),
+                "clen": pa.array(np.asarray(o_clen, dtype=np.int64)),
+                "kind": pa.array(np.asarray(o_kind, dtype=np.int8)),
+                "pfx": pa.array([x[:min_len] for x in o_s], type=pa.string()),
+            }
+        )
+
+    keyed = norm.map_batches(explode, batch_format="pyarrow")
+
+    def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # needles sort BEFORE an equal suffix (kind 0 < 1) so a needle is
+        # on the stack when its exact-match container evidence arrives
+        df = df.sort_values(["s", "kind"], kind="stable")
+        ss = df["s"].tolist()
+        rr = df["row_idx"].to_numpy(dtype=np.int64)
+        cl = df["clen"].to_numpy(dtype=np.int64)
+        kk = df["kind"].to_numpy(dtype=np.int8)
+        out: set = set()
+        stack: List[tuple] = []  # (needle_norm, needle_row, needle_len)
+        for s, r, c, k in zip(ss, rr.tolist(), cl.tolist(), kk.tolist()):
+            while stack and not s.startswith(stack[-1][0]):
+                stack.pop()
+            if k == 0:
+                stack.append((s, r, len(s)))
+                continue
+            for _nn, nrow, nlen in stack:
+                if nrow != r and nlen < c and nlen >= min_ratio * c:
+                    out.add((min(nrow, r), max(nrow, r)))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "left_idx": np.empty(0, np.int64),
+                    "right_idx": np.empty(0, np.int64),
+                    "similarity": np.empty(0, np.float64),
+                }
+            )
+        arr = np.asarray(sorted(out), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "left_idx": arr[:, 0],
+                "right_idx": arr[:, 1],
+                "similarity": np.ones(len(arr), dtype=np.float64),
+            }
+        )
+
+    return bucketed_group_map(keyed, ["pfx"], scan_bucket)

@@ -84,3 +84,88 @@ def test_shuffle_primitives_emit_arrow_blocks():
         left_schema=t.schema, right_schema=right.schema,
     )
     assert_arrow(joined, "shuffle_join")
+
+
+def test_substring_containment_matches_bruteforce(ray_session):
+    """substring_containment_edges == the brute strpos closure with the
+    same length/ratio predicates, incl. mid-string hits the prefix pass
+    misses, nested needles, exact suffix matches, and the max_doc_chars
+    needle-only seam."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.stages.suffixstage import (
+        containment_edges,
+        substring_containment_edges,
+    )
+    from string_grouper_ray.text import NGramTokenizer
+
+    texts = [
+        "Mega Hyper Global Acme Corp",          # 0: container
+        "hyperglobalacme",                       # 1: MID-string of 0 (norm)
+        "megahyperglobalacmecorp",               # 2: exact dup of 0's norm
+        "global acme corp",                      # 3: SUFFIX of 0 (norm)
+        "zebra stellar apex",                    # 4: unrelated
+        "stellarapex",                           # 5: suffix of 4
+        "acme",                                  # 6: too short vs ratio
+        "x" * 50,                                # 7: long filler
+        "x" * 40,                                # 8: substring of 7 (ratio 0.8)
+    ]
+    n = len(texts)
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "row_idx": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+    )
+    got = (
+        substring_containment_edges(ds, cfg, "text", min_len=6)
+        .to_pandas()[["left_idx", "right_idx"]]
+        .apply(tuple, axis=1)
+    )
+    got = set(got)
+
+    tok = NGramTokenizer(cfg)
+    norms = [tok.normalize(s) for s in texts]
+    expect = set()
+    for a in range(n):
+        for b in range(n):
+            if a == b:
+                continue
+            na, nb = norms[a], norms[b]
+            if (
+                len(na) >= 6
+                and len(nb) > len(na)
+                and len(na) >= 0.6 * len(nb)
+                and na in nb
+            ):
+                expect.add((min(a, b), max(a, b)))
+    assert got == expect
+    # the interesting cases actually occurred
+    assert (0, 1) in expect   # mid-string
+    assert (0, 3) in expect   # suffix
+    assert (7, 8) in expect   # long-run repeat
+    # and the prefix-only pass misses the mid-string hit
+    pref = containment_edges(ds, cfg, "text", min_len=6).to_pandas()
+    pref_pairs = set(zip(pref["left_idx"], pref["right_idx"]))
+    assert (0, 1) not in pref_pairs
+    assert got >= pref_pairs  # strict superset semantics
+
+    # max_doc_chars: containers over the cap emit no suffixes (their
+    # containments vanish) but still participate as needles
+    capped = (
+        substring_containment_edges(ds, cfg, "text", min_len=6, max_doc_chars=30)
+        .to_pandas()[["left_idx", "right_idx"]]
+        .apply(tuple, axis=1)
+    )
+    capped = set(capped)
+
+    def container_of(p):  # the longer norm is the container
+        return p[0] if len(norms[p[0]]) > len(norms[p[1]]) else p[1]
+
+    assert capped == {p for p in expect if len(norms[container_of(p)]) <= 30}
