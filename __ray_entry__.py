@@ -776,6 +776,41 @@ def _q_vad_segments(sf_dir: str):
     return vad_segments(ds, _cfg(use_actor_pools=False))
 
 
+def _q_slice_segments(sf_dir: str):
+    """Silence-trim slicing over the gated tone fixture: one output CLIP
+    per VAD-active segment. The gate verifies the sliced PAYLOAD itself,
+    not just boundaries — each output WAV is decoded back and projected
+    to integers (sample count + sum of |int16|), which the SQL oracle
+    recomputes from the formula over the same active frame ranges; any
+    mis-slice (offset, length, sample corruption) breaks the sums."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import slice_segments
+    from string_grouper_ray.sources.audio import decode_wav
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    ds = ray.data.from_arrow(tone_clip_table(200, gate_samples=800))
+    out = slice_segments(ds, _cfg(use_actor_pools=False))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_samp, abs_sum = [], []
+        for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
+            pcm, _sr = decode_wav(data, codec)
+            ints = np.abs(np.rint(pcm * 32767.0).astype(np.int64))
+            n_samp.append(len(ints))
+            abs_sum.append(int(ints.sum()))
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "seg_idx": t["seg_idx"],
+                "n_samples": pa.array(np.asarray(n_samp, dtype=np.int64)),
+                "abs_sum": pa.array(np.asarray(abs_sum, dtype=np.int64)),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -827,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_crossmodal_dedup": _q_clip_crossmodal_dedup,
         "vad_segments": _q_vad_segments,
         "substring_part": _q_substring_part,
+        "slice_segments": _q_slice_segments,
     }
 
 
@@ -1411,6 +1447,41 @@ FROM documents
             "        CAST(fs * 25 AS BIGINT) AS start_ms,"
             "        CAST(fe * 25 AS BIGINT) AS end_ms,"
             "        CAST(fe - fs AS BIGINT) AS n_frames"
+            " FROM segs"
+        ),
+        # slice_segments: same frame/gaps-and-islands closure as
+        # vad_segments, plus the per-segment integer payload projection —
+        # n_samples = frames*400 and abs_sum = sum of per-frame |int16|
+        # sums over the active run (the WAV round-trip is lossless for
+        # int16, so the decoded slice reproduces these exactly)
+        "slice_segments": (
+            "WITH clips AS ("
+            "  SELECT i, printf('tone-%06d', i) AS clip_id,"
+            "         97 + 2*(i % 50) AS a, (i * 997) % 24576 AS b,"
+            "         200 + 40*(i % 30) AS dur"
+            "  FROM range(200) t(i)),"
+            " frames AS ("
+            "  SELECT c.i, c.clip_id, r.range // 400 AS f,"
+            "         SUM(CASE WHEN ((r.range // 800) % 3) = 2 THEN 0"
+            "             ELSE ABS((c.a * r.range + c.b) % 24576 - 12288)"
+            "             END) AS s"
+            "  FROM clips c JOIN range(32000) r"
+            "    ON r.range < ((16 * c.dur) // 400) * 400"
+            "  GROUP BY c.i, c.clip_id, r.range // 400),"
+            " isl AS ("
+            "  SELECT i, clip_id, f, s, (s >= 64*400) AS act,"
+            "         f - row_number() OVER ("
+            "               PARTITION BY i, (s >= 64*400) ORDER BY f) AS grp"
+            "  FROM frames),"
+            " segs AS ("
+            "  SELECT i, clip_id, min(f) AS fs, max(f) + 1 AS fe,"
+            "         SUM(s) AS abs_sum"
+            "  FROM isl WHERE act GROUP BY i, clip_id, grp)"
+            " SELECT clip_id,"
+            "        CAST(row_number() OVER (PARTITION BY i ORDER BY fs) - 1"
+            "             AS BIGINT) AS seg_idx,"
+            "        CAST((fe - fs) * 400 AS BIGINT) AS n_samples,"
+            "        CAST(abs_sum AS BIGINT) AS abs_sum"
             " FROM segs"
         ),
     }

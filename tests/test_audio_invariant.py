@@ -570,3 +570,48 @@ def test_vad_segments_matches_bruteforce():
         out.sort_values(["clip_id", "seg_idx"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_slice_segments_bit_exact():
+    """Sliced segment payloads carry EXACTLY the original int16 samples of
+    their [start,end) frame range (bit-for-bit), transcripts pass through,
+    silent clips emit nothing, and the dataset path agrees with AudioVAD
+    boundaries."""
+    import ray
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import (
+        AudioVAD,
+        slice_segments,
+    )
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    t = tone_clip_table(30, gate_samples=800, text_mod=10)
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    out = slice_segments(ray.data.from_arrow(t), cfg).to_pandas()
+    segs = AudioVAD()(t).to_pandas()
+    assert len(out) == len(segs)
+    assert list(out.columns) == [
+        "clip_id", "seg_idx", "bytes", "sr_hz", "dur_ms", "codec", "transcript",
+    ]
+
+    src = t.to_pandas().set_index("clip_id")
+    seg_key = segs.set_index(["clip_id", "seg_idx"])
+    import io
+    import wave
+
+    for _, row in out.iterrows():
+        meta = seg_key.loc[(row["clip_id"], row["seg_idx"])]
+        with wave.open(io.BytesIO(row["bytes"])) as w:
+            sliced = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+        with wave.open(io.BytesIO(src.loc[row["clip_id"], "bytes"])) as w:
+            orig = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+        s = int(meta["start_ms"]) * 16  # 16 samples/ms at 16 kHz
+        e = int(meta["end_ms"]) * 16
+        assert np.array_equal(sliced, orig[s:e])
+        assert row["transcript"] == src.loc[row["clip_id"], "transcript"]
+        assert row["dur_ms"] == int(meta["end_ms"]) - int(meta["start_ms"])
+
+    # every clip alternates activity, so every clip produced >= 1 segment
+    assert set(out["clip_id"]) == set(t["clip_id"].to_pylist())
