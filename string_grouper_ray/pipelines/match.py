@@ -282,8 +282,11 @@ def match_edges(
         )
         _tmark("fit_vocabulary")  # deferred: overlapped inside the LSH chain
         edges = lsh_match_edges(left, right, supplier, config, text_col, tmark=_tmark)
+        # idempotent resolve: guarantees the fit completed (and establishes
+        # the happens-before for .vocab) even on LSH routes that returned
+        # without consuming the vocabulary themselves
+        supplier()
         vocab = supplier.vocab
-        assert vocab is not None  # every LSH route resolves the supplier
     else:
         if vocab is None:
             vocab = fit_vocabulary(
