@@ -811,6 +811,35 @@ def _q_slice_segments(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_speech_rate(sf_dir: str):
+    """Chars-per-active-second over the gated tone fixture with
+    transcripts: active duration is the integer VAD frame count × 25 ms
+    (recomputed in SQL from the formula), normalized transcript length is
+    the pure function of the template (19 chars for every variant), and
+    the division + 4-dp round is bit-identical IEEE double on both
+    sides."""
+    import ray.data
+
+    from string_grouper_ray.pipelines.multimodal import speech_rate
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    ds = ray.data.from_arrow(
+        tone_clip_table(200, gate_samples=800, text_mod=90)
+    )
+    out = speech_rate(ds, _cfg(use_actor_pools=False))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "active_ms": t["active_ms"],
+                "n_chars": t["n_chars"],
+                "chars_per_sec": _round(t["chars_per_sec"], 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def entry() -> Any:
     """Flagship: near-dup clustering of the sf0.001 documents table."""
     from string_grouper_ray.pipelines.cluster import group_assignments
@@ -863,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vad_segments": _q_vad_segments,
         "substring_part": _q_substring_part,
         "slice_segments": _q_slice_segments,
+        "speech_rate": _q_speech_rate,
     }
 
 
@@ -1483,5 +1513,37 @@ FROM documents
             "        CAST((fe - fs) * 400 AS BIGINT) AS n_samples,"
             "        CAST(abs_sum AS BIGINT) AS abs_sum"
             " FROM segs"
+        ),
+        # speech_rate: active frame count from the gated formula x 25 ms;
+        # normalized transcript length is 19 for every fixture variant;
+        # double division + half-away round match the pipeline bit-exactly
+        "speech_rate": (
+            "WITH clips AS ("
+            "  SELECT i, printf('tone-%06d', i) AS clip_id,"
+            "         97 + 2*(i % 50) AS a, (i * 997) % 24576 AS b,"
+            "         200 + 40*(i % 30) AS dur"
+            "  FROM range(200) t(i)),"
+            " frames AS ("
+            "  SELECT c.i, r.range // 400 AS f,"
+            "         SUM(CASE WHEN ((r.range // 800) % 3) = 2 THEN 0"
+            "             ELSE ABS((c.a * r.range + c.b) % 24576 - 12288)"
+            "             END) AS s"
+            "  FROM clips c JOIN range(32000) r"
+            "    ON r.range < ((16 * c.dur) // 400) * 400"
+            "  GROUP BY c.i, r.range // 400),"
+            " act AS ("
+            "  SELECT i, 25 * COUNT(*) FILTER (s >= 64*400) AS active_ms"
+            "  FROM frames GROUP BY i),"
+            " nch AS ("
+            "  SELECT i, CAST(length(printf('session %04d take %d',"
+            "         i % 90, (i % 90) % 7)) AS BIGINT) AS n_chars"
+            "  FROM clips)"
+            " SELECT c.clip_id,"
+            "        CAST(a.active_ms AS BIGINT) AS active_ms,"
+            "        n.n_chars,"
+            "        CASE WHEN a.active_ms > 0 THEN"
+            "          round(n.n_chars * 1000.0 / a.active_ms, 4)"
+            "        ELSE NULL END AS chars_per_sec"
+            " FROM clips c JOIN act a USING (i) JOIN nch n USING (i)"
         ),
     }

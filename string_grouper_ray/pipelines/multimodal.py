@@ -759,3 +759,66 @@ def slice_segments(
         ds, AudioSegmentSlicer, (frame, threshold, min_frames), config,
         batch_format="pyarrow", batch_size=64,
     )
+
+
+class SpeechRate:
+    """Cross-modal quality signal: characters per ACTIVE second — the
+    transcript length (normalized: lower + whitespace-collapse + trim)
+    divided by the VAD-active duration, the standard filter for
+    mis-paired or hallucinated transcripts in speech corpora (a 40-char
+    transcript over 0.2 s of speech, or 2 chars over 10 s, is a broken
+    pair either way). Emits ``(clip_id, active_ms, n_chars,
+    chars_per_sec)``; ``chars_per_sec`` is NULL when no frame is active."""
+
+    def __init__(self, frame: int = 400, threshold: int = 64,
+                 sr_hz: int = 16000):
+        self.frame = frame
+        self.threshold = threshold
+        self.sr_hz = sr_hz
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import re
+
+        frame = self.frame
+        ms_per_frame = frame * 1000 // self.sr_hz
+        n = len(t)
+        active_ms = np.zeros(n, dtype=np.int64)
+        n_chars = np.zeros(n, dtype=np.int64)
+        for i, (data, codec, txt) in enumerate(
+            zip(t["bytes"].to_pylist(), t["codec"].to_pylist(),
+                t["transcript"].to_pylist())
+        ):
+            pcm, _sr = decode_wav(data, codec)
+            nf = len(pcm) // frame
+            if nf:
+                ints = np.abs(
+                    np.rint(pcm[: nf * frame] * 32767.0).astype(np.int64)
+                )
+                sums = ints.reshape(nf, frame).sum(axis=1)
+                active_ms[i] = int(
+                    (sums >= self.threshold * frame).sum()
+                ) * ms_per_frame
+            n_chars[i] = len(re.sub(r"\s+", " ", txt.strip()).lower())
+        rate = np.where(active_ms > 0, n_chars * 1000.0 / np.maximum(active_ms, 1), np.nan)
+        return pa.table(
+            {
+                "clip_id": t["clip_id"],
+                "active_ms": pa.array(active_ms),
+                "n_chars": pa.array(n_chars),
+                "chars_per_sec": pa.array(rate, type=pa.float64(), from_pandas=True),
+            }
+        )
+
+
+def speech_rate(
+    ds: "ray.data.Dataset",
+    config: Optional[EngineConfig] = None,
+    frame: int = 400,
+    threshold: int = 64,
+) -> "ray.data.Dataset":
+    """Per-clip chars-per-active-second (see :class:`SpeechRate`)."""
+    config = config or EngineConfig()
+    return stage_map_batches(
+        ds, SpeechRate, (frame, threshold), config,
+        batch_format="pyarrow", batch_size=256,
+    )

@@ -615,3 +615,50 @@ def test_slice_segments_bit_exact():
 
     # every clip alternates activity, so every clip produced >= 1 segment
     assert set(out["clip_id"]) == set(t["clip_id"].to_pylist())
+
+
+def test_speech_rate_stage():
+    """SpeechRate: active_ms from the VAD predicate, n_chars normalized,
+    NULL rate for fully-silent audio, and consistency with AudioVAD."""
+    import io
+    import wave
+
+    import ray
+    import ray.data
+
+    from string_grouper_ray.config import EngineConfig
+    from string_grouper_ray.pipelines.multimodal import AudioVAD, speech_rate
+    from string_grouper_ray.sources.synth import tone_clip_table
+
+    t = tone_clip_table(30, gate_samples=800, text_mod=10)
+    cfg = EngineConfig(use_actor_pools=False, concurrency=2)
+    out = (
+        speech_rate(ray.data.from_arrow(t), cfg)
+        .to_pandas().set_index("clip_id")
+    )
+    segs = AudioVAD()(t).to_pandas()
+    per_clip = segs.groupby("clip_id")["n_frames"].sum() * 25
+    for cid, ms in per_clip.items():
+        assert out.loc[cid, "active_ms"] == ms
+    assert (out["n_chars"] == 19).all()  # every variant normalizes to 19
+    exp = 19 * 1000.0 / out["active_ms"]
+    assert np.allclose(out["chars_per_sec"], exp, rtol=1e-12)
+
+    def wav(ints):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(np.asarray(ints, dtype=np.int16).tobytes())
+        return buf.getvalue()
+
+    silent = pa.table(
+        {
+            "clip_id": pa.array(["s"]),
+            "bytes": pa.array([wav([0] * 4000)], type=pa.binary()),
+            "codec": pa.array(["pcm_s16le"]),
+            "transcript": pa.array(["ghost transcript"]),
+        }
+    )
+    row = speech_rate(ray.data.from_arrow(silent), cfg).to_pandas().iloc[0]
+    assert row["active_ms"] == 0 and row["n_chars"] == 16
+    assert np.isnan(row["chars_per_sec"])
