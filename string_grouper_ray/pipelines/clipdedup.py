@@ -131,11 +131,16 @@ def dedup_clip_table(
                 target=_build_cont, name="containment-edges", daemon=True
             )
             cont_thread.start()
-        edges, _vocab = match_edges(
-            narrow.select_columns(["row_idx", "text"]), None, config
-        )
+        try:
+            edges, _vocab = match_edges(
+                narrow.select_columns(["row_idx", "text"]), None, config
+            )
+        finally:
+            # join even when match_edges raises: never leave the
+            # containment materialize running with its error discarded
+            if cont_thread is not None:
+                cont_thread.join()
         if cont_thread is not None:
-            cont_thread.join()
             if "err" in cont_box:
                 raise cont_box["err"]
             # NOT deduped here: group_assignments(dedup_edges=True) merges

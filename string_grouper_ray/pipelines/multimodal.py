@@ -271,6 +271,58 @@ def resample_audio(
     )
 
 
+# ---------------------------------------------------------------------------
+# shared integer-audio kernels: every acoustic operator derives from these,
+# so cross-operator compositions (e.g. crossmodal_dedup reusing the
+# fingerprint, slice_segments matching vad_segments boundaries) agree by
+# construction, not by parallel copies staying in sync
+# ---------------------------------------------------------------------------
+
+
+def _energy_window_sums(pcm: np.ndarray, n_windows: int, window: int) -> np.ndarray:
+    """Per-window SUM of |int16 samples| over the first ``n_windows ×
+    window`` samples, zero-padded if shorter. Exact int16 recovery: decode
+    scales by 1/32767 and float64 is wide enough that the round-trip is
+    lossless."""
+    span = n_windows * window
+    ints = np.abs(np.rint(pcm[:span] * 32767.0).astype(np.int64))
+    if len(ints) < span:
+        ints = np.pad(ints, (0, span - len(ints)))
+    return ints.reshape(n_windows, window).sum(axis=1)
+
+
+def _contour_fingerprint(
+    pcm: np.ndarray, n_windows: int, window: int, bucket: int
+) -> str:
+    """Quantized energy-contour string: window sums floor-divided by
+    ``window × bucket``, dash-joined — pure integer arithmetic."""
+    q = _energy_window_sums(pcm, n_windows, window) // (window * bucket)
+    return "-".join(str(int(v)) for v in q)
+
+
+def _active_runs(pcm: np.ndarray, frame: int, threshold: int, min_frames: int):
+    """VAD frame predicate + maximal-run extraction, shared by
+    vad_segments / slice_segments / speech_rate: a frame of ``frame``
+    samples is active iff ``sum(|int16|) >= threshold × frame``. Returns
+    ``(starts, ends, ints)`` — frame-index runs of length ≥ ``min_frames``
+    (``ends`` exclusive) plus the SIGNED int16-valued samples of the
+    full-frame region (the slicer copies from them); trailing partial
+    frame ignored. ``ints`` is None when no full frame exists."""
+    n_frames = len(pcm) // frame
+    empty = np.empty(0, dtype=np.int64)
+    if n_frames == 0:
+        return empty, empty, None
+    ints = np.rint(pcm[: n_frames * frame] * 32767.0).astype(np.int64)
+    active = np.abs(ints).reshape(n_frames, frame).sum(axis=1) >= threshold * frame
+    flags = np.zeros(n_frames + 2, dtype=np.int8)
+    flags[1:-1] = active
+    d = np.diff(flags)
+    starts = np.flatnonzero(d == 1).astype(np.int64)
+    ends = np.flatnonzero(d == -1).astype(np.int64)
+    keep = (ends - starts) >= min_frames
+    return starts[keep], ends[keep], ints
+
+
 class AcousticFingerprint:
     """Decode + integer windowed energy-contour fingerprint per clip.
 
@@ -290,18 +342,12 @@ class AcousticFingerprint:
         self.bucket = bucket
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        span = self.n_windows * self.window
         fps = []
         for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
             pcm, _sr = decode_wav(data, codec)
-            # exact int16 recovery (decode scales by 1/32767; float64 is
-            # wide enough that the round-trip is lossless)
-            ints = np.abs(np.rint(pcm[:span] * 32767.0).astype(np.int64))
-            if len(ints) < span:
-                ints = np.pad(ints, (0, span - len(ints)))
-            sums = ints.reshape(self.n_windows, self.window).sum(axis=1)
-            q = sums // (self.window * self.bucket)
-            fps.append("-".join(str(int(v)) for v in q))
+            fps.append(
+                _contour_fingerprint(pcm, self.n_windows, self.window, self.bucket)
+            )
         return pa.table(
             {
                 "clip_id": t["clip_id"],
@@ -359,14 +405,10 @@ class AcousticContour:
         self.window = window
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        span = self.n_windows * self.window
         packed = []
         for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
             pcm, _sr = decode_wav(data, codec)
-            ints = np.abs(np.rint(pcm[:span] * 32767.0).astype(np.int64))
-            if len(ints) < span:
-                ints = np.pad(ints, (0, span - len(ints)))
-            sums = ints.reshape(self.n_windows, self.window).sum(axis=1)
+            sums = _energy_window_sums(pcm, self.n_windows, self.window)
             packed.append(sums.astype(np.uint64).tobytes())
         return pa.table(
             {
@@ -496,16 +538,12 @@ class CrossModalKeys:
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        span = self.n_windows * self.window
         fps = []
         for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
             pcm, _sr = decode_wav(data, codec)
-            ints = np.abs(np.rint(pcm[:span] * 32767.0).astype(np.int64))
-            if len(ints) < span:
-                ints = np.pad(ints, (0, span - len(ints)))
-            sums = ints.reshape(self.n_windows, self.window).sum(axis=1)
-            q = sums // (self.window * self.bucket)
-            fps.append("-".join(str(int(v)) for v in q))
+            fps.append(
+                _contour_fingerprint(pcm, self.n_windows, self.window, self.bucket)
+            )
         tkey = pc.utf8_lower(
             pc.replace_substring_regex(
                 pc.utf8_trim_whitespace(t["transcript"]), r"\s+", " "
@@ -600,42 +638,29 @@ class AudioVAD:
     vector); the only per-row Python is the WAV decode."""
 
     def __init__(self, frame: int = 400, threshold: int = 64,
-                 min_frames: int = 1, sr_hz: int = 16000):
+                 min_frames: int = 1):
         self.frame = frame
         self.threshold = threshold
         self.min_frames = min_frames
-        self.sr_hz = sr_hz
 
     def __call__(self, t: pa.Table) -> pa.Table:
         frame = self.frame
-        ms_per_frame = frame * 1000 // self.sr_hz
         out_id, out_seg, out_s, out_e, out_n = [], [], [], [], []
         for cid, data, codec in zip(
             t["clip_id"].to_pylist(), t["bytes"].to_pylist(),
             t["codec"].to_pylist(),
         ):
-            pcm, _sr = decode_wav(data, codec)
-            n_frames = len(pcm) // frame
-            if n_frames == 0:
-                continue
-            ints = np.abs(
-                np.rint(pcm[: n_frames * frame] * 32767.0).astype(np.int64)
+            pcm, sr = decode_wav(data, codec)
+            starts, ends, _ints = _active_runs(
+                pcm, frame, self.threshold, self.min_frames
             )
-            sums = ints.reshape(n_frames, frame).sum(axis=1)
-            active = sums >= self.threshold * frame
-            flags = np.empty(n_frames + 2, dtype=np.int8)
-            flags[0] = flags[-1] = 0
-            flags[1:-1] = active
-            d = np.diff(flags.astype(np.int8))
-            starts = np.flatnonzero(d == 1)
-            ends = np.flatnonzero(d == -1)  # exclusive frame index
-            keep = (ends - starts) >= self.min_frames
-            starts, ends = starts[keep], ends[keep]
             for s_i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
                 out_id.append(cid)
                 out_seg.append(s_i)
-                out_s.append(s * ms_per_frame)
-                out_e.append(e * ms_per_frame)
+                # ms from the DECODED per-clip rate (per-sample precision,
+                # floor) — mixed-rate corpora are first-class here
+                out_s.append(s * frame * 1000 // sr)
+                out_e.append(e * frame * 1000 // sr)
                 out_n.append(e - s)
         return pa.table(
             {
@@ -681,8 +706,9 @@ class AudioSegmentSlicer:
 
     def __init__(self, frame: int = 400, threshold: int = 64,
                  min_frames: int = 1):
-        self._vad = AudioVAD(frame, threshold, min_frames)
         self.frame = frame
+        self.threshold = threshold
+        self.min_frames = min_frames
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import io
@@ -698,22 +724,12 @@ class AudioSegmentSlicer:
             data = t["bytes"][row].as_py()
             codec = t["codec"][row].as_py()
             pcm, sr = decode_wav(data, codec)
-            n_frames = len(pcm) // frame
-            if n_frames == 0:
-                continue
-            ints = np.rint(pcm[: n_frames * frame] * 32767.0).astype(np.int64)
-            active = (
-                np.abs(ints).reshape(n_frames, frame).sum(axis=1)
-                >= self._vad.threshold * frame
+            starts, ends, ints = _active_runs(
+                pcm, frame, self.threshold, self.min_frames
             )
-            flags = np.zeros(n_frames + 2, dtype=np.int8)
-            flags[1:-1] = active
-            d = np.diff(flags)
-            starts, ends = np.flatnonzero(d == 1), np.flatnonzero(d == -1)
-            keep = (ends - starts) >= self._vad.min_frames
-            for s_i, (s, e) in enumerate(
-                zip(starts[keep].tolist(), ends[keep].tolist())
-            ):
+            if ints is None:
+                continue
+            for s_i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
                 seg = ints[s * frame : e * frame].astype(np.int16)
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
@@ -770,17 +786,14 @@ class SpeechRate:
     pair either way). Emits ``(clip_id, active_ms, n_chars,
     chars_per_sec)``; ``chars_per_sec`` is NULL when no frame is active."""
 
-    def __init__(self, frame: int = 400, threshold: int = 64,
-                 sr_hz: int = 16000):
+    def __init__(self, frame: int = 400, threshold: int = 64):
         self.frame = frame
         self.threshold = threshold
-        self.sr_hz = sr_hz
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import re
 
         frame = self.frame
-        ms_per_frame = frame * 1000 // self.sr_hz
         n = len(t)
         active_ms = np.zeros(n, dtype=np.int64)
         n_chars = np.zeros(n, dtype=np.int64)
@@ -788,16 +801,11 @@ class SpeechRate:
             zip(t["bytes"].to_pylist(), t["codec"].to_pylist(),
                 t["transcript"].to_pylist())
         ):
-            pcm, _sr = decode_wav(data, codec)
-            nf = len(pcm) // frame
-            if nf:
-                ints = np.abs(
-                    np.rint(pcm[: nf * frame] * 32767.0).astype(np.int64)
-                )
-                sums = ints.reshape(nf, frame).sum(axis=1)
-                active_ms[i] = int(
-                    (sums >= self.threshold * frame).sum()
-                ) * ms_per_frame
+            pcm, sr = decode_wav(data, codec)
+            # runs with min_frames=1: active_ms = total active frames,
+            # ms from the DECODED per-clip rate like AudioVAD
+            starts, ends, _ints = _active_runs(pcm, frame, self.threshold, 1)
+            active_ms[i] = int((ends - starts).sum()) * frame * 1000 // sr
             n_chars[i] = len(re.sub(r"\s+", " ", txt.strip()).lower())
         rate = np.where(active_ms > 0, n_chars * 1000.0 / np.maximum(active_ms, 1), np.nan)
         return pa.table(

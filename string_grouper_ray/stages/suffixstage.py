@@ -168,10 +168,12 @@ def substring_containment_edges(
 
     Cost bound (stated, not silent): suffix emission is O(len²/2) BYTES
     per doc — fine for transcript/title-length strings, quadratic for
-    book-length ones. Docs longer than ``max_doc_chars`` do not emit
-    suffixes (they can still be contained via their needle; a count is
-    logged), and at 100×-scale you run this over exact-dup
-    representatives, as the flagship does for every candidate stage.
+    book-length ones. Docs longer than ``max_doc_chars`` emit only their
+    full-norm (off=0) row — PREFIX containments into them are still found
+    (this operator stays a strict superset of the prefix pass), only
+    mid-string hits inside them are dropped, and a count is logged. At
+    100×-scale you run this over exact-dup representatives, as the
+    flagship does for every candidate stage.
 
     ``min_ratio``: as in the prefix pass, the contained norm must cover
     at least this fraction of the CONTAINER's full norm."""
@@ -195,7 +197,12 @@ def substring_containment_edges(
                 continue
             o_row.append(r); o_s.append(s); o_clen.append(L); o_kind.append(0)
             if L > max_doc_chars:
+                # over-cap containers still emit their off=0 row (O(L),
+                # not O(L²)) so PREFIX containments are never lost — the
+                # operator stays a strict superset of the prefix pass;
+                # only mid-string hits inside over-cap docs are dropped
                 skipped += 1
+                o_row.append(r); o_s.append(s); o_clen.append(L); o_kind.append(1)
                 continue
             for off in range(0, L - min_len + 1):
                 o_row.append(r); o_s.append(s[off:])
@@ -203,7 +210,8 @@ def substring_containment_edges(
         if skipped:
             print(
                 f"substring_containment: {skipped} docs over "
-                f"{max_doc_chars} chars emitted no suffixes (needles only)",
+                f"{max_doc_chars} chars emitted only their full-norm row "
+                "(prefix containments kept, mid-string dropped)",
                 flush=True,
             )
         return pa.table(

@@ -156,8 +156,9 @@ def test_substring_containment_matches_bruteforce(ray_session):
     assert (0, 1) not in pref_pairs
     assert got >= pref_pairs  # strict superset semantics
 
-    # max_doc_chars: containers over the cap emit no suffixes (their
-    # containments vanish) but still participate as needles
+    # max_doc_chars: containers over the cap keep PREFIX containments
+    # (off=0 row always emitted — strict superset of the prefix pass)
+    # but drop mid-string hits inside them
     capped = (
         substring_containment_edges(ds, cfg, "text", min_len=6, max_doc_chars=30)
         .to_pandas()[["left_idx", "right_idx"]]
@@ -168,4 +169,13 @@ def test_substring_containment_matches_bruteforce(ray_session):
     def container_of(p):  # the longer norm is the container
         return p[0] if len(norms[p[0]]) > len(norms[p[1]]) else p[1]
 
-    assert capped == {p for p in expect if len(norms[container_of(p)]) <= 30}
+    def contained_of(p):
+        return p[0] if container_of(p) == p[1] else p[1]
+
+    assert capped == {
+        p
+        for p in expect
+        if len(norms[container_of(p)]) <= 30
+        or norms[container_of(p)].startswith(norms[contained_of(p)])
+    }
+    assert (7, 8) in capped  # prefix containment into an over-cap doc kept
