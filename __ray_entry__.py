@@ -616,9 +616,9 @@ def _q_frame_sample(sf_dir: str):
         return pa.table(
             {
                 "clip_id": t["clip_id"],
-                "frame_idx": t["frame_idx"],
-                "width": t["width"],
-                "height": t["height"],
+                "frame_idx": t["frame_idx"].cast(pa.int64()),
+                "width": t["width"].cast(pa.int64()),
+                "height": t["height"].cast(pa.int64()),
                 "pix_sum": pa.array(sums),
             }
         )
@@ -669,7 +669,7 @@ def _q_frame_pipeline(sf_dir: str):
         return pa.table(
             {
                 "clip_id": t["clip_id"],
-                "frame_idx": t["frame_idx"],
+                "frame_idx": t["frame_idx"].cast(pa.int64()),
                 "feat_px_sum": pa.array(s),
             }
         )
@@ -1231,8 +1231,9 @@ px AS (
         FROM (SELECT i, f, unnest(generate_series(0, 23)) AS y FROM frames)
     )
 )
-SELECT i AS clip_id, f AS frame_idx, 32 AS width, 24 AS height,
-       sum((7*i + 3*f + 5*y + 11*x + 13*c) % 256) AS pix_sum
+SELECT i AS clip_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+       CAST(sum((7*i + 3*f + 5*y + 11*x + 13*c) % 256) AS BIGINT) AS pix_sum
 FROM px GROUP BY i, f
 """
 
@@ -1265,7 +1266,8 @@ resized AS (
                             ELSE 0 END) AS v
     FROM cells
 )
-SELECT i AS clip_id, f AS frame_idx, sum(v) AS feat_px_sum
+SELECT i AS clip_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(sum(v) AS BIGINT) AS feat_px_sum
 FROM resized GROUP BY i, f
 """
 
