@@ -138,6 +138,14 @@ class EngineConfig:
     # far beyond the vector-broadcast cutover; above this the filter becomes
     # a shuffle_join.
     rep_broadcast_max_rows: int = 50_000_000
+    # exact-dup collapse: below this row count the (row_idx, nhash) pairs are
+    # collected to the driver (16 B/row — 128 MB at the cutoff) and grouped
+    # with one numpy lexsort instead of a bucketed sort exchange + rep_map
+    # materialize + second collect. The exchange's latency is parallelism-
+    # independent (~2 s at 1M rows whether 8 or 32 CPUs), so the driver route
+    # directly buys small/mid-job scaling efficiency; above the cutoff the
+    # distributed route is unchanged.
+    exactdup_driver_max_rows: int = 8_000_000
     # minhash_dedup's true-Jaccard verify: below this row count the per-row
     # DISTINCT-shingle CSR (rank-encoded int32) is broadcast and pairs
     # verify in one map stage (no shingle-carrying shuffle_joins).
@@ -288,6 +296,8 @@ class EngineConfig:
             ),
             "rep_broadcast_max_rows": int(0.10 * min_store / 8),
             "cc_driver_max_edges": int(0.20 * driver_mem / 16),
+            # (row_idx, nhash) collected to the DRIVER HEAP, 16 B/row
+            "exactdup_driver_max_rows": int(0.05 * driver_mem / 16),
             # ~1.2 KB/row rank-encoded shingle CSR at ~300-char docs (see
             # field comment)
             "jaccard_broadcast_max_rows": int(0.10 * min_store / 1200),

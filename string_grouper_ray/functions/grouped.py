@@ -254,19 +254,27 @@ def groupby_agg(
     out_col = out_col or (f"{agg}({col})" if col is not None else "count()")
     combine_agg = "sum" if agg == "count" else agg
 
-    def partial(df: pd.DataFrame) -> pa.Table:
+    # Arrow-native hash aggregation end-to-end: no pandas⇄Arrow conversion
+    # in either the partial or the combine (these sit under the band census
+    # and centroid weights — the last pandas hops reachable from the
+    # flagship path). Null-key caveat vs the old pandas version: Arrow
+    # group_by keeps a null-key group where pandas dropped it; no engine
+    # call site aggregates nullable keys.
+    def partial(t: pa.Table) -> pa.Table:
         if agg == "count":
-            out = df.groupby(key, sort=False).size().reset_index(name=out_col)
+            out = t.select([key]).group_by(key).aggregate([([], "count_all")])
         else:
-            out = df.groupby(key, sort=False, as_index=False)[col].agg(agg)
-            out = out.rename(columns={col: out_col})
-        return pa.Table.from_pandas(out, preserve_index=False)  # arrow blocks
+            out = t.select([key, col]).group_by(key).aggregate([(col, agg)])
+        return out.rename_columns([key, out_col])
 
-    def combine(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key, sort=False, as_index=False)[out_col].agg(combine_agg)
+    def combine(t: pa.Table) -> pa.Table:
+        out = t.group_by(key).aggregate([(out_col, combine_agg)])
+        return out.rename_columns([key, out_col])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return bucketed_group_map(partials, [key], combine, num_buckets)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_map(
+        partials, [key], combine, num_buckets, bucket_format="pyarrow"
+    )
 
 
 def per_group_topk(

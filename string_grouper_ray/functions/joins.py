@@ -51,23 +51,36 @@ def _key_bucket(col: pa.ChunkedArray, num_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
 
 
+_ORDER_COL = "__sgr_border"
+
+
 class _BroadcastMerger:
     def __init__(self, small_ref, on: str, right_on: str, how: str, columns: Optional[List[str]]):
-        small: pd.DataFrame = ray.get(small_ref)
+        small: pa.Table = ray.get(small_ref)
         if columns:
-            small = small[[right_on] + [c for c in columns if c != right_on]]
-        self.small = small
+            small = small.select(
+                [right_on] + [c for c in columns if c != right_on]
+            )
+        self.small = small.combine_chunks()
         self.on = on
         self.right_on = right_on
         self.how = how
 
-    def __call__(self, batch: pd.DataFrame) -> pa.Table:
-        merged = batch.merge(
-            self.small, left_on=self.on, right_on=self.right_on,
-            how=("left" if self.how == "left" else "inner"),
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Arrow-native hash join per batch (no pandas boxing). Left row
+        # order is restored via a transient order column: Table.join does
+        # not guarantee output order, the old pandas merge did, and join
+        # primitives should stay deterministic under re-execution.
+        b = batch.append_column(
+            _ORDER_COL, pa.array(np.arange(len(batch), dtype=np.int64))
         )
-        # arrow out (see functions/grouped.py run())
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        out = b.join(
+            self.small,
+            keys=[self.on],
+            right_keys=[self.right_on],
+            join_type=("left outer" if self.how == "left" else "inner"),
+        )
+        return out.sort_by(_ORDER_COL).drop_columns([_ORDER_COL])
 
 
 def broadcast_join(
@@ -85,8 +98,12 @@ def broadcast_join(
     per-group representatives, vocabulary-sized lookups).
     """
     right_on = right_on or on
-    small_df = small.to_pandas()
-    small_ref = ray.put(small_df)
+    parts = ray.get(small.to_arrow_refs())
+    if parts:
+        small_tbl = pa.concat_tables(parts, promote_options="default")
+    else:
+        small_tbl = _arrow_schema(small).empty_table()
+    small_ref = ray.put(small_tbl)
     if concurrency is None:
         # scale the pool to the cluster rather than a flat 2 — a big-side
         # scan routed through here must not serialize on two actors
@@ -97,7 +114,7 @@ def broadcast_join(
     return big.map_batches(
         _BroadcastMerger,
         fn_constructor_args=(small_ref, on, right_on, how, columns),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     )
 

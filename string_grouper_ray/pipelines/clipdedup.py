@@ -102,6 +102,13 @@ def dedup_clip_table(
         ),
         batch_format="pyarrow",
     ).materialize()
+    # Materializing the narrow table here is load-bearing: it is consumed by
+    # 4+ downstream stages (containment thread, rep filter, banding, node/id
+    # collection), and the lazy alternative re-executes the read inside each
+    # of them CONCURRENTLY — measured 14.8 → 36.9 s at 1M/32 CPUs when this
+    # barrier was removed (banding alone went 1.3 → 14.6 s). ~1.5 s of
+    # parallelism-independent wall is the cheaper trade at small scale and
+    # amortizes at large scale.
     _tmark("narrow_read")
 
     def compute_edges():
@@ -157,9 +164,9 @@ def dedup_clip_table(
 
     def compute_groups():
         return group_assignments(
-            narrow.select_columns(["row_idx", "text"]), config, None, "text",
-            edges=edges, dedup_edges=with_containment,
-            force_distributed=force_distributed,
+            narrow.select_columns(["row_idx", "text", "clip_id"]), config, None,
+            "text", edges=edges, dedup_edges=with_containment,
+            force_distributed=force_distributed, id_col="clip_id",
         )
 
     groups = ckpt.stage("groups", compute_groups)
@@ -167,43 +174,64 @@ def dedup_clip_table(
         groups = groups.materialize()
         _tmark("groups(total)")
 
-    # map row_idx-based assignment back to clip ids (right key renamed:
-    # shuffle_join requires non-key column names to be disjoint)
-    idx_to_id = narrow.select_columns(["row_idx", "clip_id"]).map_batches(
-        lambda t: t.rename_columns(["rep_row", "clip_id"]), batch_format="pyarrow"
-    )
-    assign = shuffle_join(
-        groups, idx_to_id, on="group_rep_idx", right_on="rep_row", how="inner",
-        left_schema=pa.schema(
-            [("row_idx", pa.int64()), ("group_id", pa.int64()), ("group_rep_idx", pa.int64())]
-        ),
-        right_schema=pa.schema([("rep_row", pa.int64()), ("clip_id", pa.string())]),
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "row_idx": t["row_idx"],
-                "group_id": t["group_id"],
-                "group_rep_id": t["clip_id"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    assign = shuffle_join(
-        assign, narrow.select_columns(["row_idx", "clip_id"]), on="row_idx", how="inner",
-        left_schema=pa.schema(
-            [("row_idx", pa.int64()), ("group_id", pa.int64()), ("group_rep_id", pa.string())]
-        ),
-        right_schema=pa.schema([("row_idx", pa.int64()), ("clip_id", pa.string())]),
-    ).map_batches(
-        lambda t: pa.table(
-            {
-                "clip_id": t["clip_id"],
-                "group_id": t["group_id"].cast(pa.int64()),
-                "group_rep_id": t["group_rep_id"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    # schema probe must not execute the plan: the distributed route returns a
+    # lazy shuffle whose schema() would otherwise trigger real work. Unknown
+    # schema → join route (correct either way; the fast path is an opt-in).
+    _gsch = groups.schema(fetch_if_missing=False)
+    if _gsch is not None and "group_rep_id" in _gsch.names:
+        # driver fast path carried the clip ids through the union-find output
+        # (group_assignments id_col): both rep-hydration joins collapse into a
+        # projection — at 1M rows that was ~1 s of parallelism-independent
+        # exchange latency on the critical path
+        assign = groups.map_batches(
+            lambda t: pa.table(
+                {
+                    "clip_id": t["clip_id"],
+                    "group_id": t["group_id"].cast(pa.int64()),
+                    "group_rep_id": t["group_rep_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        # distributed route: map row_idx-based assignment back to clip ids
+        # (right key renamed: shuffle_join requires non-key column names to
+        # be disjoint)
+        idx_to_id = narrow.select_columns(["row_idx", "clip_id"]).map_batches(
+            lambda t: t.rename_columns(["rep_row", "clip_id"]), batch_format="pyarrow"
+        )
+        assign = shuffle_join(
+            groups, idx_to_id, on="group_rep_idx", right_on="rep_row", how="inner",
+            left_schema=pa.schema(
+                [("row_idx", pa.int64()), ("group_id", pa.int64()), ("group_rep_idx", pa.int64())]
+            ),
+            right_schema=pa.schema([("rep_row", pa.int64()), ("clip_id", pa.string())]),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "row_idx": t["row_idx"],
+                    "group_id": t["group_id"],
+                    "group_rep_id": t["clip_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        assign = shuffle_join(
+            assign, narrow.select_columns(["row_idx", "clip_id"]), on="row_idx", how="inner",
+            left_schema=pa.schema(
+                [("row_idx", pa.int64()), ("group_id", pa.int64()), ("group_rep_id", pa.string())]
+            ),
+            right_schema=pa.schema([("row_idx", pa.int64()), ("clip_id", pa.string())]),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "clip_id": t["clip_id"],
+                    "group_id": t["group_id"].cast(pa.int64()),
+                    "group_rep_id": t["group_rep_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
 
     if not hydrate_payload:
         out = assign

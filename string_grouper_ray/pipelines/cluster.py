@@ -40,6 +40,7 @@ def group_assignments(
     edges: Optional["ray.data.Dataset"] = None,
     force_distributed: bool = False,
     dedup_edges: bool = False,
+    id_col: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Cluster a dataset of (row_idx, text) rows into near-dup groups.
 
@@ -47,6 +48,14 @@ def group_assignments(
     (row_idx:int64, group_id:int64, group_rep_idx:int64), where ``group_id``
     is the component's min row_idx and ``group_rep_idx`` the representative
     member per ``config.group_rep``.
+
+    ``id_col``: when given AND the driver fast path is taken, the output
+    additionally carries ``(id_col, group_rep_id)`` — the row's own id and
+    the representative's id — so callers that only need id-level
+    assignments skip two downstream shuffle joins (the rep hydration and
+    the row hydration). The distributed (>``cc_driver_max_edges``) route
+    ignores it and returns the 3-column schema; callers must check the
+    output schema and fall back to joins (see pipelines/clipdedup.py).
 
     ``dedup_edges=True`` means the caller's edge list may contain duplicate
     (left, right) rows (e.g. a union of match + containment edges) that
@@ -80,7 +89,9 @@ def group_assignments(
         # rep chain is a handful of numpy passes — skipping three shuffles
         # and two joins of the distributed path (which remains the >50M-edge
         # route below)
-        return _driver_group_assignments(edges, ds, config, dedup=dedup_edges)
+        return _driver_group_assignments(
+            edges, ds, config, dedup=dedup_edges, id_col=id_col
+        )
     labels = connected_components(edges, ds, config, force_distributed=force_distributed).materialize()
 
     if config.group_rep == GROUP_REP_CENTROID:
@@ -175,6 +186,7 @@ def _driver_group_assignments(
     ds: "ray.data.Dataset",
     config: EngineConfig,
     dedup: bool = False,
+    id_col: Optional[str] = None,
 ) -> "ray.data.Dataset":
     """Driver fast path: labels, weights and representatives in one set of
     vectorized numpy passes over the collected edge list.
@@ -202,7 +214,30 @@ def _driver_group_assignments(
             edges, ["left_idx", "right_idx"], agg_col="similarity"
         ).materialize()
         dedup = False
-    node_ids = np.sort(collect_columns(ds, ["row_idx"])["row_idx"].astype(np.int64))
+    if id_col is not None:
+        # single collection pass for (row_idx, id): ids stay Arrow end-to-end
+        # (no per-value Python boxing of a million strings)
+        idx_parts, id_chunks = [], []
+        for b in ds.select_columns(["row_idx", id_col]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            idx_parts.append(
+                b["row_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            id_chunks.extend(b[id_col].chunks)
+        idx_all = (
+            np.concatenate(idx_parts) if idx_parts else np.empty(0, dtype=np.int64)
+        )
+        order_ids = np.argsort(idx_all, kind="stable")
+        node_ids = idx_all[order_ids]
+        ids_sorted = pa.chunked_array(
+            id_chunks or [pa.array([], type=pa.string())]
+        ).take(pa.array(order_ids))
+    else:
+        ids_sorted = None
+        node_ids = np.sort(
+            collect_columns(ds, ["row_idx"])["row_idx"].astype(np.int64)
+        )
     n = len(node_ids)
     _tmark("collect_nodes")
 
@@ -291,12 +326,24 @@ def _driver_group_assignments(
     rep_nodes = node_ids[order][first_mask]
     group_rep = rep_nodes[np.searchsorted(rep_groups, labels)]
 
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "row_idx": pa.array(node_ids, type=pa.int64()),
-                "group_id": pa.array(labels, type=pa.int64()),
-                "group_rep_idx": pa.array(group_rep, type=pa.int64()),
-            }
-        )
-    )
+    cols = {
+        "row_idx": pa.array(node_ids, type=pa.int64()),
+        "group_id": pa.array(labels, type=pa.int64()),
+        "group_rep_idx": pa.array(group_rep, type=pa.int64()),
+    }
+    if ids_sorted is not None:
+        # node_ids is sorted, so rep positions come straight from searchsorted
+        rep_pos = np.searchsorted(node_ids, group_rep)
+        cols[id_col] = ids_sorted
+        cols["group_rep_id"] = ids_sorted.take(pa.array(rep_pos))
+    out_tbl = pa.table(cols)
+    # split the driver-built table into several blocks so downstream maps /
+    # joins get task fan-out instead of one giant block
+    try:
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        cpus = 8
+    n_slices = max(1, min(cpus, len(out_tbl) // 65_536 + 1))
+    step = -(-len(out_tbl) // n_slices) if len(out_tbl) else 1
+    slices = [out_tbl.slice(i * step, step) for i in range(n_slices)] or [out_tbl]
+    return ray.data.from_arrow(slices if len(slices) > 1 else slices[0])

@@ -753,21 +753,24 @@ def ngram_jaccard_pairs(
     shared = bucketed_group_map(salted, ["band_key", "salt"], emit_multi)
 
     # per-pair intersection counts: map-side partial count, bucketed combine
-    def partial_count(df: pd.DataFrame) -> pd.DataFrame:
-        return pa.Table.from_pandas(  # arrow out (see functions/grouped.py run())
-            df.groupby(["left_idx", "right_idx"], sort=False)
-            .size()
-            .reset_index(name="n"),
-            preserve_index=False,
+    # (Arrow-native hash aggregation — no pandas⇄Arrow hop, keys are int64)
+    def partial_count(t: pa.Table) -> pa.Table:
+        out = (
+            t.select(["left_idx", "right_idx"])
+            .group_by(["left_idx", "right_idx"])
+            .aggregate([([], "count_all")])
         )
+        return out.rename_columns(["left_idx", "right_idx", "n"])
 
-    def combine_count(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["left_idx", "right_idx"], sort=False, as_index=False)["n"].sum()
+    def combine_count(t: pa.Table) -> pa.Table:
+        out = t.group_by(["left_idx", "right_idx"]).aggregate([("n", "sum")])
+        return out.rename_columns(["left_idx", "right_idx", "n"])
 
     shared_counts = bucketed_group_map(
-        shared.map_batches(partial_count, batch_format="pandas"),
+        shared.map_batches(partial_count, batch_format="pyarrow"),
         ["left_idx", "right_idx"],
         combine_count,
+        bucket_format="pyarrow",
     )
 
     # carry both docs' sizes to the pair via two bucketed shuffle joins

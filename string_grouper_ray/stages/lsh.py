@@ -1013,14 +1013,64 @@ def lsh_match_edges(
 
     exact_edges = None
     if config.exact_dup_shortcircuit and not cross:
-        rep_map, exact_edges = _exact_dup_collapse(left, config, text_col)
         n_rows = left.count()
-        if n_rows <= config.rep_broadcast_max_rows:
-            # broadcast the rep id set; filter is a map, not a join barrier
+        rep_ids = None
+        if n_rows <= min(
+            config.rep_broadcast_max_rows, config.exactdup_driver_max_rows
+        ):
+            # driver route: one parallel NormHash map, then the whole
+            # group-by-hash → rep-per-group chain is a single numpy lexsort
+            # on the driver (16 B/row collected). Replaces a bucketed sort
+            # exchange + rep_map materialize + a second full collect — all
+            # parallelism-independent latency at small/mid scale. Same
+            # semantics: groups keyed on the normalized-transcript FNV-64,
+            # rep = min row_idx of the group.
             from ..functions.collect import collect_columns
+            from ..functions.stagemap import stage_map_batches as _smb0
 
-            cols = collect_columns(rep_map, ["row_idx", "rep_idx"])
-            rep_ids = np.sort(cols["row_idx"][cols["row_idx"] == cols["rep_idx"]])
+            hashed = _smb0(
+                left.select_columns(["row_idx", text_col]), _NormHash,
+                (config, text_col), config, batch_format="pyarrow",
+                batch_size=config.batch_size,
+            )
+            cols = collect_columns(hashed, ["row_idx", "nhash"])
+            rows_np = cols["row_idx"].astype(np.int64)
+            nh = cols["nhash"].astype(np.int64)
+            order = np.lexsort((rows_np, nh))
+            rs, hs = rows_np[order], nh[order]
+            first = np.empty(len(rs), dtype=bool)
+            first[:1] = True
+            first[1:] = hs[1:] != hs[:-1]
+            # group's first (= min) row_idx propagated to every member
+            start_pos = np.where(first, np.arange(len(rs)), 0)
+            np.maximum.accumulate(start_pos, out=start_pos)
+            rep_per_row = rs[start_pos] if len(rs) else rs
+            rep_ids = np.sort(rs[first])
+            member_mask = rep_per_row != rs
+            exact_edges = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "left_idx": pa.array(
+                            rep_per_row[member_mask], type=pa.int64()
+                        ),
+                        "right_idx": pa.array(rs[member_mask], type=pa.int64()),
+                        "similarity": pa.array(
+                            np.ones(int(member_mask.sum()), dtype=np.float64)
+                        ),
+                    }
+                )
+            )
+        else:
+            rep_map, exact_edges = _exact_dup_collapse(left, config, text_col)
+        if rep_ids is not None or n_rows <= config.rep_broadcast_max_rows:
+            if rep_ids is None:
+                # broadcast the rep id set; filter is a map, not a join barrier
+                from ..functions.collect import collect_columns
+
+                cols = collect_columns(rep_map, ["row_idx", "rep_idx"])
+                rep_ids = np.sort(
+                    cols["row_idx"][cols["row_idx"] == cols["rep_idx"]]
+                )
             rep_ref = ray.put(rep_ids)
 
             class _RepFilter:
