@@ -138,6 +138,14 @@ class EngineConfig:
     # far beyond the vector-broadcast cutover; above this the filter becomes
     # a shuffle_join.
     rep_broadcast_max_rows: int = 50_000_000
+    # self-join symmetrize normally ends in a pair-key dedup exchange
+    # (dedup_pairs). Pipelines whose downstream max-merges duplicate
+    # (left, right) edge rows anyway — group_assignments(dedup_edges=True)
+    # on both its driver and distributed routes — set this True to get the
+    # raw mirror union and skip that exchange (~1 s parallelism-independent
+    # at 1M rows). NEVER set it when the edge list itself is the product
+    # (match_strings): mirror duplicates would surface to the user.
+    defer_edge_dedup: bool = False
     # exact-dup collapse: below this row count the (row_idx, nhash) pairs are
     # collected to the driver (16 B/row — 128 MB at the cutoff) and grouped
     # with one numpy lexsort instead of a bucketed sort exchange + rep_map

@@ -139,8 +139,13 @@ def dedup_clip_table(
             )
             cont_thread.start()
         try:
+            # defer the symmetrize pair dedup: group_assignments below runs
+            # with dedup_edges=True, which max-merges duplicate (l, r) rows
+            # on whichever route it takes, so the dedicated exchange inside
+            # symmetrize_edges is redundant work on this pipeline
             edges, _vocab = match_edges(
-                narrow.select_columns(["row_idx", "text"]), None, config
+                narrow.select_columns(["row_idx", "text"]), None,
+                config.with_options(defer_edge_dedup=True),
             )
         finally:
             # join even when match_edges raises: never leave the
@@ -165,7 +170,7 @@ def dedup_clip_table(
     def compute_groups():
         return group_assignments(
             narrow.select_columns(["row_idx", "text", "clip_id"]), config, None,
-            "text", edges=edges, dedup_edges=with_containment,
+            "text", edges=edges, dedup_edges=True,
             force_distributed=force_distributed, id_col="clip_id",
         )
 

@@ -181,7 +181,8 @@ class ExactTopKMatcher:
 
 
 def symmetrize_edges(
-    edges: "ray.data.Dataset", nodes: "ray.data.Dataset", config: EngineConfig
+    edges: "ray.data.Dataset", nodes: "ray.data.Dataset", config: EngineConfig,
+    skip_dedup: bool = False,
 ) -> "ray.data.Dataset":
     """force_symmetries for self-joins (reference ``string_grouper.py:419-427``):
 
@@ -190,6 +191,14 @@ def symmetrize_edges(
 
     ``nodes`` must have a ``row_idx`` column covering every left row.
     Expressed as union + groupby(pair).max — one shuffle keyed on the pair.
+
+    ``skip_dedup=True`` returns the raw union (mirror duplicates kept) for
+    consumers that max-merge (left, right) duplicates themselves —
+    ``group_assignments(dedup_edges=True)`` does, on both its driver and
+    distributed routes — saving the pair-key exchange (parallelism-
+    independent ~1 s at 1M rows). Only the dedup pipelines opt in via
+    ``EngineConfig.defer_edge_dedup``; the match_strings edge-list API keeps
+    the deduped contract.
     """
 
     def drop_diag(t: pa.Table) -> pa.Table:
@@ -219,6 +228,8 @@ def symmetrize_edges(
     from ..functions.grouped import dedup_pairs
 
     unioned = off.union(mirrored, diagonal)
+    if skip_dedup:
+        return unioned
     return dedup_pairs(unioned, ["left_idx", "right_idx"], agg_col="similarity")
 
 
@@ -345,7 +356,9 @@ def match_edges(
             if _os.environ.get("SGR_PROFILE"):
                 edges = edges.materialize()
                 _tmark("pre_symmetrize(topk)")
-            edges = symmetrize_edges(edges, left, config)
+            edges = symmetrize_edges(
+                edges, left, config, skip_dedup=config.defer_edge_dedup
+            )
             if _os.environ.get("SGR_PROFILE"):
                 edges = edges.materialize()
                 _tmark("symmetrize")
