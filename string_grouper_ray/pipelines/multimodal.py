@@ -25,7 +25,7 @@ import ray.data
 
 from ..config import EngineConfig
 from ..functions.stagemap import stage_map_batches
-from ..sources.audio import SUPPORTED_CODEC, decode_wav, snr_db
+from ..sources.audio import SUPPORTED_CODEC, decode_wav, decode_wav_batch, snr_db
 
 
 class AudioFeatures:
@@ -44,8 +44,9 @@ class AudioFeatures:
         peak = np.zeros(n, dtype=np.float64)
         silence = np.zeros(n, dtype=np.float64)
         zcr = np.zeros(n, dtype=np.float64)
+        pcms, srs = decode_wav_batch(payloads, codecs)
         for i in range(n):
-            pcm, sr = decode_wav(payloads[i], codecs[i])
+            pcm, sr = pcms[i], srs[i]
             dur[i] = len(pcm) / sr * 1000.0
             rms[i] = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
             peak[i] = float(np.abs(pcm).max()) if len(pcm) else 0.0
@@ -104,9 +105,9 @@ class Resampler:
         payloads = t["bytes"].to_pylist()
         codecs = t["codec"].to_pylist()
         out_bytes = []
-        for data, codec in zip(payloads, codecs):
-            pcm, sr = decode_wav(data, codec)
-            out_bytes.append(encode_wav(resample_pcm(pcm, sr, self.target_sr), self.target_sr))
+        pcms, srs = decode_wav_batch(payloads, codecs)
+        for pcm, sr in zip(pcms, srs):
+            out_bytes.append(encode_wav(resample_pcm(pcm, int(sr), self.target_sr), self.target_sr))
         cols = {name: t[name] for name in t.column_names}
         cols["bytes"] = pa.array(out_bytes, type=pa.binary())
         cols["sr_hz"] = pa.array(
@@ -343,8 +344,8 @@ class AcousticFingerprint:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         fps = []
-        for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
-            pcm, _sr = decode_wav(data, codec)
+        pcms, _srs = decode_wav_batch(t["bytes"].to_pylist(), t["codec"].to_pylist())
+        for pcm in pcms:
             fps.append(
                 _contour_fingerprint(pcm, self.n_windows, self.window, self.bucket)
             )
@@ -406,8 +407,8 @@ class AcousticContour:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         packed = []
-        for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
-            pcm, _sr = decode_wav(data, codec)
+        pcms, _srs = decode_wav_batch(t["bytes"].to_pylist(), t["codec"].to_pylist())
+        for pcm in pcms:
             sums = _energy_window_sums(pcm, self.n_windows, self.window)
             packed.append(sums.astype(np.uint64).tobytes())
         return pa.table(
@@ -539,8 +540,8 @@ class CrossModalKeys:
         import pyarrow.compute as pc
 
         fps = []
-        for data, codec in zip(t["bytes"].to_pylist(), t["codec"].to_pylist()):
-            pcm, _sr = decode_wav(data, codec)
+        pcms, _srs = decode_wav_batch(t["bytes"].to_pylist(), t["codec"].to_pylist())
+        for pcm in pcms:
             fps.append(
                 _contour_fingerprint(pcm, self.n_windows, self.window, self.bucket)
             )
@@ -646,11 +647,10 @@ class AudioVAD:
     def __call__(self, t: pa.Table) -> pa.Table:
         frame = self.frame
         out_id, out_seg, out_s, out_e, out_n = [], [], [], [], []
-        for cid, data, codec in zip(
-            t["clip_id"].to_pylist(), t["bytes"].to_pylist(),
-            t["codec"].to_pylist(),
-        ):
-            pcm, sr = decode_wav(data, codec)
+        pcms, srs = decode_wav_batch(
+            t["bytes"].to_pylist(), t["codec"].to_pylist()
+        )
+        for cid, pcm, sr in zip(t["clip_id"].to_pylist(), pcms, srs):
             starts, ends, _ints = _active_runs(
                 pcm, frame, self.threshold, self.min_frames
             )
@@ -720,10 +720,11 @@ class AudioSegmentSlicer:
             "dur_ms": [], "codec": [], "transcript": [],
         }
         has_txt = "transcript" in t.column_names
+        pcms, srs = decode_wav_batch(
+            t["bytes"].to_pylist(), t["codec"].to_pylist()
+        )
         for row in range(len(t)):
-            data = t["bytes"][row].as_py()
-            codec = t["codec"][row].as_py()
-            pcm, sr = decode_wav(data, codec)
+            pcm, sr = pcms[row], int(srs[row])
             starts, ends, ints = _active_runs(
                 pcm, frame, self.threshold, self.min_frames
             )
@@ -797,11 +798,12 @@ class SpeechRate:
         n = len(t)
         active_ms = np.zeros(n, dtype=np.int64)
         n_chars = np.zeros(n, dtype=np.int64)
-        for i, (data, codec, txt) in enumerate(
-            zip(t["bytes"].to_pylist(), t["codec"].to_pylist(),
-                t["transcript"].to_pylist())
+        pcms, srs = decode_wav_batch(
+            t["bytes"].to_pylist(), t["codec"].to_pylist()
+        )
+        for i, (pcm, sr, txt) in enumerate(
+            zip(pcms, srs, t["transcript"].to_pylist())
         ):
-            pcm, sr = decode_wav(data, codec)
             # runs with min_frames=1: active_ms = total active frames,
             # ms from the DECODED per-clip rate like AudioVAD
             starts, ends, _ints = _active_runs(pcm, frame, self.threshold, 1)

@@ -60,6 +60,57 @@ def decode_wav(data: bytes, codec: str = SUPPORTED_CODEC) -> tuple[np.ndarray, i
     return ints.astype(np.float64) / 32767.0, sr
 
 
+def _canonical_wav_header(data: bytes):
+    """Parse the fixed 44-byte canonical RIFF/WAVE header (the shape
+    ``encode_wav`` and every common PCM16 writer emit): returns
+    (sr, data_offset, data_nbytes) or None when the layout doesn't match
+    (extra chunks, non-PCM, stereo, 24-bit, ...) and the stdlib path must
+    take over."""
+    if (
+        len(data) < 44
+        or data[:4] != b"RIFF"
+        or data[8:16] != b"WAVEfmt "
+        # fmt chunk size 16, PCM format tag 1, mono, 16-bit
+        or int.from_bytes(data[16:20], "little") != 16
+        or int.from_bytes(data[20:22], "little") != 1
+        or int.from_bytes(data[22:24], "little") != 1
+        or int.from_bytes(data[34:36], "little") != 16
+        or data[36:40] != b"data"
+    ):
+        return None
+    sr = int.from_bytes(data[24:28], "little")
+    nbytes = int.from_bytes(data[40:44], "little")
+    nbytes = min(nbytes, len(data) - 44) & ~1  # clamp + even
+    return sr, 44, nbytes
+
+
+def decode_wav_batch(datas, codecs=None):
+    """Batched WAV decode: (list of float64 waveforms, int64 sample rates).
+
+    Hot multimodal stages decode every payload of a batch; going through
+    ``wave.open``/``BytesIO`` per row pays Python chunk-parsing machinery
+    per clip. Canonical headers are parsed with direct byte math and the
+    samples read as a zero-copy ``np.frombuffer`` int16 view (the float
+    conversion is the only copy); anything non-canonical falls back to
+    :func:`decode_wav` row-wise — bit-identical output either way (pinned
+    by test)."""
+    out = []
+    srs = np.empty(len(datas), dtype=np.int64)
+    for i, data in enumerate(datas):
+        codec = codecs[i] if codecs is not None else SUPPORTED_CODEC
+        hdr = _canonical_wav_header(data) if codec == SUPPORTED_CODEC else None
+        if hdr is None:
+            pcm, sr = decode_wav(data, codec)  # also raises the codec stub
+            out.append(pcm)
+            srs[i] = sr
+            continue
+        sr, off, nbytes = hdr
+        ints = np.frombuffer(data, dtype=np.int16, count=nbytes // 2, offset=off)
+        out.append(ints.astype(np.float64) / 32767.0)
+        srs[i] = sr
+    return out, srs
+
+
 def resample_pcm(pcm: np.ndarray, sr_in: int, sr_out: int, half_taps: int = 16) -> np.ndarray:
     """Windowed-sinc resample of a mono float waveform (pure numpy).
 

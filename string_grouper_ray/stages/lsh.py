@@ -1125,6 +1125,13 @@ def lsh_match_edges(
     n_left = left.count()
     n_right = right.count() if cross else 0
     use_broadcast = (n_left + n_right) <= config.verify_broadcast_max_rows
+    if _tmark.enabled:
+        print(
+            f"    [match] verify route: "
+            f"{'broadcast' if use_broadcast else 'join'} "
+            f"(rows={n_left + n_right}, cutoff={config.verify_broadcast_max_rows})",
+            flush=True,
+        )
 
     def _vec_ds(src):
         return stage_map_batches(

@@ -194,6 +194,38 @@ def test_groupby_agg_arrow_parity():
     assert cnt.to_numpy().tolist() == df.groupby("k").size().sort_index().tolist()
 
 
+def test_decode_wav_batch_bit_identical():
+    from string_grouper_ray.sources.audio import (
+        decode_wav, decode_wav_batch, encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    bufs, codecs = [], []
+    for n in (0, 1, 7, 400, 16001):
+        bufs.append(encode_wav(rng.uniform(-1, 1, n), 16000))
+        codecs.append("pcm_s16le")
+    # non-canonical header: an extra LIST chunk between fmt and data must
+    # route through the stdlib fallback, same output
+    base = bufs[-1]
+    extra = (
+        base[:36]
+        + b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+        + base[36:]
+    )
+    extra = b"RIFF" + (len(extra) - 8).to_bytes(4, "little") + extra[8:]
+    bufs.append(extra)
+    codecs.append("pcm_s16le")
+
+    got, srs = decode_wav_batch(bufs, codecs)
+    for b, c, g, sr in zip(bufs, codecs, got, srs):
+        ref, ref_sr = decode_wav(b, c)
+        assert sr == ref_sr
+        assert np.array_equal(g, ref)
+    # the codec stub still raises through the batch API
+    with pytest.raises(NotImplementedError):
+        decode_wav_batch([bufs[0]], ["opus"])
+
+
 def test_broadcast_join_arrow():
     from string_grouper_ray.functions.joins import broadcast_join
 
