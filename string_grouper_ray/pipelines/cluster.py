@@ -336,9 +336,13 @@ def _driver_group_assignments(
         rep_pos = np.searchsorted(node_ids, group_rep)
         cols[id_col] = ids_sorted
         cols["group_rep_id"] = ids_sorted.take(pa.array(rep_pos))
-    out_tbl = pa.table(cols)
-    # split the driver-built table into several blocks so downstream maps /
-    # joins get task fan-out instead of one giant block
+    return from_arrow_sliced(pa.table(cols))
+
+
+def from_arrow_sliced(out_tbl: pa.Table) -> "ray.data.Dataset":
+    """``ray.data.from_arrow`` with the driver-built table split into
+    ~CPU-count blocks so downstream maps / joins get task fan-out instead
+    of one giant block."""
     try:
         cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
     except Exception:

@@ -1047,7 +1047,11 @@ def lsh_match_edges(
             rep_per_row = rs[start_pos] if len(rs) else rs
             rep_ids = np.sort(rs[first])
             member_mask = rep_per_row != rs
-            exact_edges = ray.data.from_arrow(
+            from ..pipelines.cluster import from_arrow_sliced
+
+            # sliced: at the 8M-row cutoff this can be millions of edge rows
+            # — one monolithic block would serialize every downstream map
+            exact_edges = from_arrow_sliced(
                 pa.table(
                     {
                         "left_idx": pa.array(
