@@ -66,8 +66,17 @@ def _build_clip_table() -> str:
 def run_headline() -> dict:
     import ray
 
+    init_kwargs = {}
+    # GRAFT_OBJ_STORE_GB: start the local session with a deliberately sized
+    # object store — with GRAFT_DERIVE_CUTOFFS=1 below this is how the
+    # organic-route experiment models a small-memory cluster node without
+    # forcing any route flag
+    if os.environ.get("GRAFT_OBJ_STORE_GB"):
+        init_kwargs["object_store_memory"] = int(
+            float(os.environ["GRAFT_OBJ_STORE_GB"]) * (1 << 30)
+        )
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR", **init_kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -82,7 +91,7 @@ def run_headline() -> dict:
     # small input: join-mode verify (no broadcast CSR) + distributed CC —
     # the configuration a 100-TB run would actually use
     force_distributed = bool(int(os.environ.get("GRAFT_FORCE_DISTRIBUTED", "0")))
-    cfg = EngineConfig(
+    base_opts = dict(
         strategy="lsh",
         min_similarity=0.8,
         max_n_matches=20,  # reference default: caps edge volume in mega-clusters
@@ -94,8 +103,18 @@ def run_headline() -> dict:
         use_actor_pools=False,
         concurrency=max(2, NUM_CPUS - 2),
         batch_size=2048,
-        verify_broadcast_max_rows=0 if force_distributed else 8_000_000,
     )
+    if os.environ.get("GRAFT_DERIVE_CUTOFFS"):
+        # organic-route mode: every broadcast/driver cutoff comes from the
+        # CONNECTED session's resources (EngineConfig.for_cluster) — no
+        # hardcoded threshold, no force flag; pair with GRAFT_OBJ_STORE_GB
+        # to model a small-memory node
+        cfg = EngineConfig.for_cluster(**base_opts)
+    else:
+        cfg = EngineConfig(
+            verify_broadcast_max_rows=0 if force_distributed else 8_000_000,
+            **base_opts,
+        )
     # min-of-N like the per-query timings: single observations mis-rank on
     # this noisy host (headline repeats skipped for large force-distributed
     # runs, which take tens of minutes each)

@@ -25,7 +25,7 @@ import ray.data
 
 from ..config import EngineConfig
 from ..functions.stagemap import stage_map_batches
-from ..sources.audio import SUPPORTED_CODEC, decode_wav, decode_wav_batch, snr_db
+from ..sources.audio import SUPPORTED_CODEC, decode_wav, decode_wav_iter, snr_db
 
 
 class AudioFeatures:
@@ -44,9 +44,7 @@ class AudioFeatures:
         peak = np.zeros(n, dtype=np.float64)
         silence = np.zeros(n, dtype=np.float64)
         zcr = np.zeros(n, dtype=np.float64)
-        pcms, srs = decode_wav_batch(payloads, codecs)
-        for i in range(n):
-            pcm, sr = pcms[i], srs[i]
+        for i, (pcm, sr) in enumerate(decode_wav_iter(payloads, codecs)):
             dur[i] = len(pcm) / sr * 1000.0
             rms[i] = float(np.sqrt(np.mean(pcm**2))) if len(pcm) else 0.0
             peak[i] = float(np.abs(pcm).max()) if len(pcm) else 0.0
@@ -105,8 +103,7 @@ class Resampler:
         payloads = t["bytes"].to_pylist()
         codecs = t["codec"].to_pylist()
         out_bytes = []
-        pcms, srs = decode_wav_batch(payloads, codecs)
-        for pcm, sr in zip(pcms, srs):
+        for pcm, sr in decode_wav_iter(payloads, codecs):
             out_bytes.append(encode_wav(resample_pcm(pcm, int(sr), self.target_sr), self.target_sr))
         cols = {name: t[name] for name in t.column_names}
         cols["bytes"] = pa.array(out_bytes, type=pa.binary())
@@ -344,8 +341,9 @@ class AcousticFingerprint:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         fps = []
-        pcms, _srs = decode_wav_batch(t["bytes"].to_pylist(), t["codec"].to_pylist())
-        for pcm in pcms:
+        for pcm, _sr in decode_wav_iter(
+            t["bytes"].to_pylist(), t["codec"].to_pylist()
+        ):
             fps.append(
                 _contour_fingerprint(pcm, self.n_windows, self.window, self.bucket)
             )
@@ -407,8 +405,9 @@ class AcousticContour:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         packed = []
-        pcms, _srs = decode_wav_batch(t["bytes"].to_pylist(), t["codec"].to_pylist())
-        for pcm in pcms:
+        for pcm, _sr in decode_wav_iter(
+            t["bytes"].to_pylist(), t["codec"].to_pylist()
+        ):
             sums = _energy_window_sums(pcm, self.n_windows, self.window)
             packed.append(sums.astype(np.uint64).tobytes())
         return pa.table(
@@ -540,8 +539,9 @@ class CrossModalKeys:
         import pyarrow.compute as pc
 
         fps = []
-        pcms, _srs = decode_wav_batch(t["bytes"].to_pylist(), t["codec"].to_pylist())
-        for pcm in pcms:
+        for pcm, _sr in decode_wav_iter(
+            t["bytes"].to_pylist(), t["codec"].to_pylist()
+        ):
             fps.append(
                 _contour_fingerprint(pcm, self.n_windows, self.window, self.bucket)
             )
@@ -647,10 +647,10 @@ class AudioVAD:
     def __call__(self, t: pa.Table) -> pa.Table:
         frame = self.frame
         out_id, out_seg, out_s, out_e, out_n = [], [], [], [], []
-        pcms, srs = decode_wav_batch(
-            t["bytes"].to_pylist(), t["codec"].to_pylist()
-        )
-        for cid, pcm, sr in zip(t["clip_id"].to_pylist(), pcms, srs):
+        for cid, (pcm, sr) in zip(
+            t["clip_id"].to_pylist(),
+            decode_wav_iter(t["bytes"].to_pylist(), t["codec"].to_pylist()),
+        ):
             starts, ends, _ints = _active_runs(
                 pcm, frame, self.threshold, self.min_frames
             )
@@ -720,11 +720,10 @@ class AudioSegmentSlicer:
             "dur_ms": [], "codec": [], "transcript": [],
         }
         has_txt = "transcript" in t.column_names
-        pcms, srs = decode_wav_batch(
-            t["bytes"].to_pylist(), t["codec"].to_pylist()
-        )
-        for row in range(len(t)):
-            pcm, sr = pcms[row], int(srs[row])
+        for row, (pcm, sr) in enumerate(
+            decode_wav_iter(t["bytes"].to_pylist(), t["codec"].to_pylist())
+        ):
+            sr = int(sr)
             starts, ends, ints = _active_runs(
                 pcm, frame, self.threshold, self.min_frames
             )
@@ -798,11 +797,11 @@ class SpeechRate:
         n = len(t)
         active_ms = np.zeros(n, dtype=np.int64)
         n_chars = np.zeros(n, dtype=np.int64)
-        pcms, srs = decode_wav_batch(
-            t["bytes"].to_pylist(), t["codec"].to_pylist()
-        )
-        for i, (pcm, sr, txt) in enumerate(
-            zip(pcms, srs, t["transcript"].to_pylist())
+        for i, ((pcm, sr), txt) in enumerate(
+            zip(
+                decode_wav_iter(t["bytes"].to_pylist(), t["codec"].to_pylist()),
+                t["transcript"].to_pylist(),
+            )
         ):
             # runs with min_frames=1: active_ms = total active frames,
             # ms from the DECODED per-clip rate like AudioVAD

@@ -40,7 +40,7 @@ def gen(t):
     with np.errstate(over="ignore"):
         h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
     return pa.table({
-        "k": pa.array((h % np.uint64(max(1, rows // 64))).astype(np.int64)),
+        "k": pa.array((h % np.uint64(max(1, rows // int(os.environ.get("AB_KEY_DIV", "64"))))).astype(np.int64)),
         "v": pa.array((ids % 1000).astype(np.float64)),
     })
 
