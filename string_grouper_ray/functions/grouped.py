@@ -254,27 +254,38 @@ def groupby_agg(
     out_col = out_col or (f"{agg}({col})" if col is not None else "count()")
     combine_agg = "sum" if agg == "count" else agg
 
-    # Arrow-native hash aggregation end-to-end: no pandas⇄Arrow conversion
-    # in either the partial or the combine (these sit under the band census
-    # and centroid weights — the last pandas hops reachable from the
-    # flagship path). Null-key caveat vs the old pandas version: Arrow
-    # group_by keeps a null-key group where pandas dropped it; no engine
-    # call site aggregates nullable keys.
+    # Kernel choice is MEASURED, not assumed (census-shaped data: 262k-row
+    # batches, ~230k distinct int64 keys/batch, this host/pyarrow-16):
+    # np.unique(return_counts) 5.4 ms < pandas groupby.size 10.9 ms <
+    # pa.TableGroupBy count_all 16.8 ms — the "Arrow-native" TableGroupBy
+    # was tried and is the SLOWEST of the three for both count and sum, so
+    # the integer-key count partial (the flagship band census) goes through
+    # numpy and everything else keeps pandas's hashtable (Arrow tables at
+    # the batch boundary either way).
     def partial(t: pa.Table) -> pa.Table:
         if agg == "count":
-            out = t.select([key]).group_by(key).aggregate([([], "count_all")])
+            try:
+                vals = t[key].to_numpy(zero_copy_only=False)
+            except (pa.ArrowInvalid, ValueError):
+                vals = None
+            if vals is not None and vals.dtype.kind in "iu":
+                keys, cnt = np.unique(vals, return_counts=True)
+                return pa.table(
+                    {key: pa.array(keys), out_col: pa.array(cnt.astype(np.int64))}
+                )
+        df = t.select([key] + ([col] if col is not None else [])).to_pandas()
+        if agg == "count":
+            out = df.groupby(key, sort=False).size().reset_index(name=out_col)
         else:
-            out = t.select([key, col]).group_by(key).aggregate([(col, agg)])
-        return out.rename_columns([key, out_col])
+            out = df.groupby(key, sort=False, as_index=False)[col].agg(agg)
+            out = out.rename(columns={col: out_col})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    def combine(t: pa.Table) -> pa.Table:
-        out = t.group_by(key).aggregate([(out_col, combine_agg)])
-        return out.rename_columns([key, out_col])
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, sort=False, as_index=False)[out_col].agg(combine_agg)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return bucketed_group_map(
-        partials, [key], combine, num_buckets, bucket_format="pyarrow"
-    )
+    return bucketed_group_map(partials, [key], combine, num_buckets)
 
 
 def per_group_topk(
