@@ -146,6 +146,12 @@ class EngineConfig:
     # at 1M rows). NEVER set it when the edge list itself is the product
     # (match_strings): mirror duplicates would surface to the user.
     defer_edge_dedup: bool = False
+    # group_assignments(id_col=...): the driver fast path may carry the id
+    # STRINGS (~40-64 B/row, two Arrow copies transiently) to the driver —
+    # memory the 16 B/edge cc_driver_max_edges budget does not model. Above
+    # this row count the id carry is skipped and callers fall back to the
+    # join-based rep hydration.
+    ids_driver_max_rows: int = 20_000_000
     # exact-dup collapse: below this row count the (row_idx, nhash) pairs are
     # collected to the driver (16 B/row — 128 MB at the cutoff) and grouped
     # with one numpy lexsort instead of a bucketed sort exchange + rep_map
@@ -306,6 +312,8 @@ class EngineConfig:
             "cc_driver_max_edges": int(0.20 * driver_mem / 16),
             # (row_idx, nhash) collected to the DRIVER HEAP, 16 B/row
             "exactdup_driver_max_rows": int(0.05 * driver_mem / 16),
+            # id strings on the driver heap: ~64 B/row × 2 transient copies
+            "ids_driver_max_rows": int(0.04 * driver_mem / 128),
             # ~1.2 KB/row rank-encoded shingle CSR at ~300-char docs (see
             # field comment)
             "jaccard_broadcast_max_rows": int(0.10 * min_store / 1200),

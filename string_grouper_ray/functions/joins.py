@@ -96,6 +96,12 @@ def broadcast_join(
 
     Use only when the small side provably fits in memory (dimension tables,
     per-group representatives, vocabulary-sized lookups).
+
+    Contract notes vs the pre-Arrow (pandas-merge) version: non-key column
+    name collisions are rejected here (pandas used to suffix _x/_y;
+    ``pa.Table.join`` would silently emit two same-named fields), the
+    ``right_on`` key column is not duplicated into the output, and null
+    join keys do not match (pandas matched NaN to NaN).
     """
     right_on = right_on or on
     parts = ray.get(small.to_arrow_refs())
@@ -103,6 +109,17 @@ def broadcast_join(
         small_tbl = pa.concat_tables(parts, promote_options="default")
     else:
         small_tbl = _arrow_schema(small).empty_table()
+    big_schema = big.schema(fetch_if_missing=False)  # never execute the plan
+    if big_schema is not None:
+        overlap = (set(small_tbl.column_names) & set(big_schema.names)) - (
+            {on} if on == right_on else set()
+        )
+        if overlap:
+            raise ValueError(
+                f"broadcast_join: column name collision {sorted(overlap)} — "
+                "rename non-key columns before joining (pa.Table.join would "
+                "silently emit duplicate field names)"
+            )
     small_ref = ray.put(small_tbl)
     if concurrency is None:
         # scale the pool to the cluster rather than a flat 2 — a big-side

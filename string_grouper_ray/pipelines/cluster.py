@@ -214,6 +214,13 @@ def _driver_group_assignments(
             edges, ["left_idx", "right_idx"], agg_col="similarity"
         ).materialize()
         dedup = False
+    if id_col is not None and ds.count() > config.ids_driver_max_rows:
+        # the id strings (~40-64 B each) are NOT in the 16 B/edge budget
+        # cc_driver_max_edges models — above this cutoff, skip the id
+        # carry (the caller's schema probe falls back to the join route
+        # for rep hydration) rather than risk a driver OOM on exactly the
+        # memory-tight clusters for_cluster() protects
+        id_col = None
     if id_col is not None:
         # single collection pass for (row_idx, id): ids stay Arrow end-to-end
         # (no per-value Python boxing of a million strings)
@@ -336,18 +343,6 @@ def _driver_group_assignments(
         rep_pos = np.searchsorted(node_ids, group_rep)
         cols[id_col] = ids_sorted
         cols["group_rep_id"] = ids_sorted.take(pa.array(rep_pos))
+    from ..functions.blocks import from_arrow_sliced
+
     return from_arrow_sliced(pa.table(cols))
-
-
-def from_arrow_sliced(out_tbl: pa.Table) -> "ray.data.Dataset":
-    """``ray.data.from_arrow`` with the driver-built table split into
-    ~CPU-count blocks so downstream maps / joins get task fan-out instead
-    of one giant block."""
-    try:
-        cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
-    except Exception:
-        cpus = 8
-    n_slices = max(1, min(cpus, len(out_tbl) // 65_536 + 1))
-    step = -(-len(out_tbl) // n_slices) if len(out_tbl) else 1
-    slices = [out_tbl.slice(i * step, step) for i in range(n_slices)] or [out_tbl]
-    return ray.data.from_arrow(slices if len(slices) > 1 else slices[0])

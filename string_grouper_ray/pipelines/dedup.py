@@ -760,11 +760,27 @@ def ngram_jaccard_pairs(
             .group_by(["left_idx", "right_idx"])
             .aggregate([([], "count_all")])
         )
-        return out.rename_columns(["left_idx", "right_idx", "n"])
+        # select/rename BY NAME: the key-vs-aggregate column order of
+        # TableGroupBy output changed across pyarrow versions, and a
+        # positional rename would silently mislabel a key column as the
+        # count
+        return pa.table(
+            {
+                "left_idx": out["left_idx"],
+                "right_idx": out["right_idx"],
+                "n": out["count_all"],
+            }
+        )
 
     def combine_count(t: pa.Table) -> pa.Table:
         out = t.group_by(["left_idx", "right_idx"]).aggregate([("n", "sum")])
-        return out.rename_columns(["left_idx", "right_idx", "n"])
+        return pa.table(
+            {
+                "left_idx": out["left_idx"],
+                "right_idx": out["right_idx"],
+                "n": out["n_sum"],
+            }
+        )
 
     shared_counts = bucketed_group_map(
         shared.map_batches(partial_count, batch_format="pyarrow"),

@@ -896,6 +896,20 @@ class _NormHash:
         return pa.table({"row_idx": t["row_idx"], "nhash": pa.array(h)})
 
 
+def _normhash_ds(
+    left: "ray.data.Dataset", config: EngineConfig, text_col: str
+) -> "ray.data.Dataset":
+    """(row_idx, nhash) rows — the shared exact-dup identity stage for both
+    the distributed collapse and the driver lexsort route (one definition,
+    so the two routes cannot diverge on group identity)."""
+    from ..functions.stagemap import stage_map_batches
+
+    return stage_map_batches(
+        left.select_columns(["row_idx", text_col]), _NormHash, (config, text_col),
+        config, batch_format="pyarrow", batch_size=config.batch_size,
+    )
+
+
 def _exact_dup_collapse(
     left: "ray.data.Dataset", config: EngineConfig, text_col: str
 ):
@@ -905,12 +919,8 @@ def _exact_dup_collapse(
     exact_edges: (left_idx=rep, right_idx=member, similarity=1.0).
     """
     from ..functions.grouped import bucketed_group_map
-    from ..functions.stagemap import stage_map_batches
 
-    hashed = stage_map_batches(
-        left.select_columns(["row_idx", text_col]), _NormHash, (config, text_col),
-        config, batch_format="pyarrow", batch_size=config.batch_size,
-    )
+    hashed = _normhash_ds(left, config, text_col)
 
     def rep_of(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["nhash", "row_idx"], kind="stable")
@@ -1026,14 +1036,10 @@ def lsh_match_edges(
             # semantics: groups keyed on the normalized-transcript FNV-64,
             # rep = min row_idx of the group.
             from ..functions.collect import collect_columns
-            from ..functions.stagemap import stage_map_batches as _smb0
 
-            hashed = _smb0(
-                left.select_columns(["row_idx", text_col]), _NormHash,
-                (config, text_col), config, batch_format="pyarrow",
-                batch_size=config.batch_size,
+            cols = collect_columns(
+                _normhash_ds(left, config, text_col), ["row_idx", "nhash"]
             )
-            cols = collect_columns(hashed, ["row_idx", "nhash"])
             rows_np = cols["row_idx"].astype(np.int64)
             nh = cols["nhash"].astype(np.int64)
             order = np.lexsort((rows_np, nh))
@@ -1047,7 +1053,7 @@ def lsh_match_edges(
             rep_per_row = rs[start_pos] if len(rs) else rs
             rep_ids = np.sort(rs[first])
             member_mask = rep_per_row != rs
-            from ..pipelines.cluster import from_arrow_sliced
+            from ..functions.blocks import from_arrow_sliced
 
             # sliced: at the 8M-row cutoff this can be millions of edge rows
             # — one monolithic block would serialize every downstream map

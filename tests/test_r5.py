@@ -235,12 +235,12 @@ def test_broadcast_join_arrow():
     small = ray.data.from_pandas(
         pd.DataFrame({"k2": [1, 2, 2], "y": ["a", "b", "c"]})
     )
-    # inner join: duplicate small-side keys expand rows
+    # inner join: duplicate small-side keys expand rows — pin MULTIPLICITY
+    # with a sorted list of tuples, not a set (a set collapses duplicates)
     inner = broadcast_join(big, small, on="key", right_on="k2", how="inner").to_pandas()
-    assert len(inner) == 4  # key 1 ×2 rows, key 2 ×2 matches
-    assert set(zip(inner["key"], inner["y"])) == {
-        (1, "a"), (1, "a"), (2, "b"), (2, "c")
-    } or set(zip(inner["key"], inner["y"])) == {(1, "a"), (2, "b"), (2, "c")}
+    assert sorted(zip(inner["key"], inner["x"], inner["y"])) == [
+        (1, 10, "a"), (1, 11, "a"), (2, 20, "b"), (2, 20, "c")
+    ]
     # left join: unmatched keys survive with null payload, left order kept
     # within each batch
     left = broadcast_join(big, small, on="key", right_on="k2", how="left").to_pandas()
