@@ -70,7 +70,51 @@ def group_assignments(
         edges, vocab = match_edges(ds, None, config, vocab, text_col)
     from ray.data.dataset import MaterializedDataset
 
-    if not isinstance(edges, MaterializedDataset):
+    if not force_distributed and not isinstance(edges, MaterializedDataset):
+        # Stream-collect attempt: the common flagship case ends on the
+        # driver anyway (edge lists are orders of magnitude smaller than
+        # the input), so consume the LAZY edge plan once, straight into
+        # numpy — collection overlaps the chain's tail execution and the
+        # materialize barrier + count pass + second block read all
+        # disappear (~1 s of parallelism-independent wall at 1M rows).
+        # Past the cap (the >cc_driver_max_edges route, where the driver
+        # must not hold the edges) the partial collect is discarded and
+        # the plan re-executes into the distributed path below — a
+        # double-pay accepted because jobs at that edge volume run minutes
+        # and take the distributed route's shuffles anyway.
+        centroid_sim = config.group_rep == GROUP_REP_CENTROID
+        # cap at the CONTRACTION threshold, not just the driver-CC one:
+        # past it the existing spanning-forest/distributed logic is the
+        # right route and the serial lexsort/UF on the collected arrays
+        # would not be
+        cap = min(config.cc_driver_max_edges, config.cc_contract_min_edges)
+        parts_l, parts_r, parts_s = [], [], []
+        n_seen = 0
+        aborted = False
+        for b in edges.iter_batches(batch_size=262_144, batch_format="pyarrow"):
+            n_seen += len(b)
+            if n_seen > cap:
+                aborted = True
+                break
+            parts_l.append(b["left_idx"].to_numpy(zero_copy_only=False))
+            parts_r.append(b["right_idx"].to_numpy(zero_copy_only=False))
+            if centroid_sim:
+                parts_s.append(b["similarity"].to_numpy(zero_copy_only=False))
+        if not aborted:
+            arrays = {
+                "left_idx": np.concatenate(parts_l) if parts_l else np.empty(0, np.int64),
+                "right_idx": np.concatenate(parts_r) if parts_r else np.empty(0, np.int64),
+            }
+            if centroid_sim:
+                arrays["similarity"] = (
+                    np.concatenate(parts_s) if parts_s else np.empty(0, np.float64)
+                )
+            return _driver_group_assignments(
+                None, ds, config, dedup=dedup_edges, id_col=id_col,
+                edge_arrays=arrays,
+            )
+        edges = edges.materialize()
+    elif not isinstance(edges, MaterializedDataset):
         edges = edges.materialize()  # consumed twice (CC + centroid weights)
     n_edges = edges.count()
     driver_path = not force_distributed and n_edges <= config.cc_driver_max_edges
@@ -182,11 +226,12 @@ def group_assignments(
 
 
 def _driver_group_assignments(
-    edges: "ray.data.Dataset",
+    edges: Optional["ray.data.Dataset"],
     ds: "ray.data.Dataset",
     config: EngineConfig,
     dedup: bool = False,
     id_col: Optional[str] = None,
+    edge_arrays: Optional[dict] = None,
 ) -> "ray.data.Dataset":
     """Driver fast path: labels, weights and representatives in one set of
     vectorized numpy passes over the collected edge list.
@@ -203,8 +248,14 @@ def _driver_group_assignments(
     _tmark = StageTimer("groups")
     _tmark("start")
     centroid = config.group_rep == GROUP_REP_CENTROID
-    n_edges = edges.count()
-    contract = n_edges > config.cc_contract_min_edges
+    if edge_arrays is not None:
+        # caller stream-collected the lazy edge plan (capped at the
+        # contraction threshold): no dataset passes, no contract branch
+        n_edges = len(edge_arrays["left_idx"])
+        contract = False
+    else:
+        n_edges = edges.count()
+        contract = n_edges > config.cc_contract_min_edges
     if dedup and contract:
         # weights below aggregate `edges` distributedly — duplicates must be
         # merged there, not on the driver
@@ -258,8 +309,11 @@ def _driver_group_assignments(
         l = tree["left_idx"].astype(np.int64)
         r = tree["right_idx"].astype(np.int64)
     else:
-        cols = ["left_idx", "right_idx"] + (["similarity"] if centroid else [])
-        p = collect_columns(edges, cols)
+        if edge_arrays is not None:
+            p = edge_arrays
+        else:
+            cols = ["left_idx", "right_idx"] + (["similarity"] if centroid else [])
+            p = collect_columns(edges, cols)
         l = p["left_idx"].astype(np.int64)
         r = p["right_idx"].astype(np.int64)
         if dedup and len(l):
