@@ -194,6 +194,39 @@ def test_groupby_agg_arrow_parity():
     assert cnt.to_numpy().tolist() == df.groupby("k").size().sort_index().tolist()
 
 
+def test_stream_collect_abort_path_matches():
+    # when the lazy edge plan exceeds the stream-collect cap, the partial
+    # collect is discarded and the old materialize + contraction/driver
+    # logic must produce identical assignments
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    texts = (
+        ["the quick brown fox jumps"] * 4
+        + ["the quick brown fox jumped"] * 2
+        + ["completely different thing", "another unrelated text"]
+    )
+    n = len(texts)
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"row_idx": np.arange(n), "text": texts})
+    )
+    base = dict(strategy="exact", min_similarity=0.8, use_actor_pools=False)
+    normal = (
+        group_assignments(ds, EngineConfig(**base))
+        .to_pandas().sort_values("row_idx").reset_index(drop=True)
+    )
+    # cap of 1 edge forces the abort on any non-trivial edge list; the
+    # contraction threshold is equally tiny so the contract branch runs too
+    tiny = EngineConfig(
+        cc_contract_min_edges=1, cc_driver_max_edges=10_000, **base
+    )
+    aborted = (
+        group_assignments(ds, tiny)
+        .to_pandas().sort_values("row_idx").reset_index(drop=True)
+    )
+    assert normal["group_id"].tolist() == aborted["group_id"].tolist()
+    assert normal["group_rep_idx"].tolist() == aborted["group_rep_idx"].tolist()
+
+
 def test_decode_wav_batch_bit_identical():
     from string_grouper_ray.sources.audio import (
         decode_wav, decode_wav_batch, encode_wav,
