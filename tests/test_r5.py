@@ -194,6 +194,41 @@ def test_groupby_agg_arrow_parity():
     assert cnt.to_numpy().tolist() == df.groupby("k").size().sort_index().tolist()
 
 
+def test_csv_source_through_match(tmp_path):
+    # S3 in the SURVEY coverage table: CSV ingest (Ray built-in) feeding the
+    # engine's match pipeline end-to-end
+    import csv
+
+    from string_grouper_ray.pipelines.match import match_edges
+
+    p = tmp_path / "names.csv"
+    rows = [
+        ("c0", "Hyper Startup Inc."),
+        ("c1", "Hyper Startup Incorporated"),
+        ("c2", "Totally Different LLC"),
+    ]
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["clip_id", "transcript"])
+        w.writerows(rows)
+
+    def project(t: pa.Table) -> pa.Table:
+        # row identity from the DATA, not block position: Ray may split a
+        # tiny CSV into one block per row with arbitrary order
+        idx = np.array(
+            [int(c[1:]) for c in t["clip_id"].to_pylist()], dtype=np.int64
+        )
+        return pa.table({"row_idx": pa.array(idx), "text": t["transcript"]})
+
+    ds = ray.data.read_csv(str(p)).map_batches(project, batch_format="pyarrow")
+    cfg = EngineConfig(strategy="exact", min_similarity=0.3, use_actor_pools=False)
+    edges, _ = match_edges(ds, None, cfg)
+    df = edges.to_pandas()
+    pairs = set(zip(df["left_idx"], df["right_idx"]))
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert (0, 2) not in pairs and (2, 0) not in pairs
+
+
 def test_stream_collect_abort_path_matches():
     # when the lazy edge plan exceeds the stream-collect cap, the partial
     # collect is discarded and the old materialize + contraction/driver
