@@ -38,6 +38,33 @@ from .cluster import group_assignments
 from .match import match_edges
 
 
+class _NarrowProject:
+    """Narrow-table projection, optionally fusing the exact-dup identity
+    hash into the read: the ``nhash`` column computes during the
+    already-parallel read tasks instead of as a separate NormHash stage on
+    the critical path (lsh.py ``_normhash_ds`` detects and reuses it —
+    same ``_NormHash`` kernel, so the identities cannot diverge)."""
+
+    def __init__(self, id_col: str, text_col: str, config, with_nhash: bool):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.with_nhash = with_nhash
+        if with_nhash:
+            from ..stages.lsh import _NormHash
+
+            self._nh = _NormHash(config, text_col)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols = {
+            "row_idx": t["row_idx"],
+            "clip_id": t[self.id_col],
+            "text": t[self.text_col],
+        }
+        if self.with_nhash:
+            cols["nhash"] = self._nh(t)["nhash"]
+        return pa.table(cols)
+
+
 def add_row_idx(ds: "ray.data.Dataset", count: Optional[int] = None) -> "ray.data.Dataset":
     """Assign a dense, deterministic row_idx by zipping with a range dataset
     (dataset order is deterministic for a deterministic file listing).
@@ -96,11 +123,15 @@ def dedup_clip_table(
     if narrow is None:
         narrow = read_table(input_path, columns=[id_col, text_col])
         narrow = add_row_idx(narrow, narrow.count())
-    narrow = narrow.map_batches(
-        lambda t: pa.table(
-            {"row_idx": t["row_idx"], "clip_id": t[id_col], "text": t[text_col]}
-        ),
-        batch_format="pyarrow",
+    from ..functions.stagemap import stage_map_batches as _smb_narrow
+
+    # batch_size=None: whole-block batches — a row-sized batch here would
+    # fragment the materialized narrow table into thousands of tiny blocks
+    # and every downstream stage's task count follows block count
+    narrow = _smb_narrow(
+        narrow, _NarrowProject,
+        (id_col, text_col, config, config.exact_dup_shortcircuit),
+        config, batch_format="pyarrow", batch_size=None,
     ).materialize()
     # Materializing the narrow table here is load-bearing: it is consumed by
     # 4+ downstream stages (containment thread, rep filter, banding, node/id
@@ -143,8 +174,11 @@ def dedup_clip_table(
             # with dedup_edges=True, which max-merges duplicate (l, r) rows
             # on whichever route it takes, so the dedicated exchange inside
             # symmetrize_edges is redundant work on this pipeline
+            match_cols = ["row_idx", "text"] + (
+                ["nhash"] if config.exact_dup_shortcircuit else []
+            )
             edges, _vocab = match_edges(
-                narrow.select_columns(["row_idx", "text"]), None,
+                narrow.select_columns(match_cols), None,
                 config.with_options(defer_edge_dedup=True),
             )
         finally:

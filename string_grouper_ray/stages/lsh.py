@@ -901,7 +901,16 @@ def _normhash_ds(
 ) -> "ray.data.Dataset":
     """(row_idx, nhash) rows — the shared exact-dup identity stage for both
     the distributed collapse and the driver lexsort route (one definition,
-    so the two routes cannot diverge on group identity)."""
+    so the two routes cannot diverge on group identity).
+
+    When the input already carries an ``nhash`` column (clipdedup fuses the
+    hash into its narrow-read projection so it computes during the
+    already-parallel read instead of as a separate stage on the critical
+    path), it is used as-is — the producer MUST have used the same
+    tokenizer normalization + FNV-64 (clipdedup reuses ``_NormHash``)."""
+    sch = left.schema(fetch_if_missing=False)
+    if sch is not None and "nhash" in sch.names:
+        return left.select_columns(["row_idx", "nhash"])
     from ..functions.stagemap import stage_map_batches
 
     return stage_map_batches(
