@@ -194,6 +194,63 @@ def test_groupby_agg_arrow_parity():
     assert cnt.to_numpy().tolist() == df.groupby("k").size().sort_index().tolist()
 
 
+def test_dedup_edges_equals_prededuped():
+    # the round-5 deferred symmetrize dedup relies on this: feeding
+    # group_assignments(dedup_edges=True) an edge list WITH mirror/banding
+    # duplicates must yield the same assignments and (centroid) reps as
+    # feeding it the max-merged unique edges
+    from string_grouper_ray.pipelines.cluster import group_assignments
+
+    rng = np.random.default_rng(11)
+    n = 60
+    nodes = ray.data.from_pandas(
+        pd.DataFrame({"row_idx": np.arange(n, dtype=np.int64),
+                      "text": [f"t{i}" for i in range(n)]})
+    )
+    # random sparse graph + forced diagonal, then duplicate rows with
+    # varying similarities (max must win)
+    l = rng.integers(0, n, size=150)
+    r = rng.integers(0, n, size=150)
+    s = np.round(rng.uniform(0.5, 1.0, size=150), 3)
+    l = np.concatenate([l, np.arange(n)])
+    r = np.concatenate([r, np.arange(n)])
+    s = np.concatenate([s, np.ones(n)])
+    dup_sel = rng.integers(0, len(l), size=80)
+    l2 = np.concatenate([l, l[dup_sel]])
+    r2 = np.concatenate([r, r[dup_sel]])
+    s2 = np.concatenate([s, np.maximum(0.5, s[dup_sel] - 0.1)])
+
+    def edges_ds(a, b, c):
+        return ray.data.from_arrow(pa.table({
+            "left_idx": pa.array(a, type=pa.int64()),
+            "right_idx": pa.array(b, type=pa.int64()),
+            "similarity": pa.array(c, type=pa.float64()),
+        }))
+
+    # manual max-merge of the duplicated list
+    order = np.lexsort((-s2, r2, l2))
+    ls, rs, ss = l2[order], r2[order], s2[order]
+    keep = np.empty(len(ls), dtype=bool)
+    keep[0] = True
+    keep[1:] = (ls[1:] != ls[:-1]) | (rs[1:] != rs[:-1])
+
+    for rep_mode in ("centroid", "first"):
+        cfg = EngineConfig(group_rep=rep_mode, use_actor_pools=False)
+        a = (
+            group_assignments(nodes, cfg, edges=edges_ds(l2, r2, s2),
+                              dedup_edges=True)
+            .to_pandas().sort_values("row_idx").reset_index(drop=True)
+        )
+        b = (
+            group_assignments(nodes, cfg,
+                              edges=edges_ds(ls[keep], rs[keep], ss[keep]),
+                              dedup_edges=False)
+            .to_pandas().sort_values("row_idx").reset_index(drop=True)
+        )
+        assert a["group_id"].tolist() == b["group_id"].tolist(), rep_mode
+        assert a["group_rep_idx"].tolist() == b["group_rep_idx"].tolist(), rep_mode
+
+
 def test_csv_source_through_match(tmp_path):
     # S3 in the SURVEY coverage table: CSV ingest (Ray built-in) feeding the
     # engine's match pipeline end-to-end
